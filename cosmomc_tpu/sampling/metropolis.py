@@ -1,0 +1,144 @@
+"""Vectorized Metropolis-Hastings with blocked proposals.
+
+Reference behavior (source/MCMC.f90): `TMetropolisSampler_GetNewSample`
+proposes in a block and accepts with probability exp(-(trial - cur)) in
+-logL units (MetropolisAccept, MCMC.f90:119-131, with temperature scaling);
+the main loop runs until the target sample count (SampleFrom :134-163).
+
+TPU-native re-design: one chain per *vector lane*, not per MPI rank.
+A segment of S steps is a single `lax.scan` compiled once; outputs
+(accept flags, point, -logL, derived) stream back as (S, nchains, ...)
+arrays that the host compresses into weighted GetDist rows. All chains share
+the proposal schedule (see proposal.py) so the compute per step is uniform.
+
+The posterior callable is the generic seam (reference:
+calclike.f90 TLikeCalculator.GetLogLike): `logpost_fn(P) -> (mloglike,
+derived)` for a single chain's parameter vector; it is vmapped here.
+Bound checking (hard priors) and Gaussian/linear priors are applied here so
+every likelihood gets in-bounds parameters (calclike.f90:97-151).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cosmomc_tpu.sampling.proposal import BlockedProposal, ProposalSchedule
+
+LOG_ZERO = 1e30   # rejection sentinel (reference settings.f90:114)
+
+
+class ChainState(NamedTuple):
+    P: jnp.ndarray            # (nchains, n) current points
+    mloglike: jnp.ndarray     # (nchains,) current -logL (incl priors)
+    derived: jnp.ndarray      # (nchains, nd)
+    rots: Tuple[jnp.ndarray, ...]  # per-block rotations
+    key: jax.Array            # single PRNG key (split per step)
+    num_accept: jnp.ndarray   # (nchains,) int32
+    mapping: jnp.ndarray      # (n, n) proposal mapping (traced: adaptation
+                              # updates must reach the compiled segment)
+
+
+class SegmentOutput(NamedTuple):
+    accept: jnp.ndarray       # (S, nchains) bool
+    P: jnp.ndarray            # (S, nchains, n) current point AFTER each step
+    mloglike: jnp.ndarray     # (S, nchains)
+    derived: jnp.ndarray      # (S, nchains, nd)
+
+
+def make_bounded_posterior(logpost_fn: Callable, lo: jnp.ndarray, hi: jnp.ndarray,
+                           prior_arrays: Optional[Dict[str, jnp.ndarray]] = None,
+                           num_derived: int = 0) -> Callable:
+    """Wrap a raw -logL function with hard bounds + Gaussian/linear priors.
+
+    Mirrors GetLogLikeBounds + GetLogPriors (calclike.f90:97-151). Out-of-
+    bounds points short-circuit to LOG_ZERO *without* evaluating the theory
+    (lax.cond), matching the reference's early exit.
+    """
+    pa = prior_arrays or {}
+
+    def bounded(P):
+        inb = jnp.all((P >= lo) & (P <= hi))
+
+        def evaluate(P):
+            m, d = logpost_fn(P)
+            prior = jnp.zeros((), P.dtype)
+            if "has_prior" in pa:
+                t = (P - pa["prior_mean"]) / pa["prior_std"]
+                prior = prior + 0.5 * jnp.sum(jnp.where(pa["has_prior"], t * t, 0.0))
+            if "lin_w" in pa and pa["lin_w"].shape[0] > 0:
+                s = (pa["lin_w"] @ P - pa["lin_mean"]) / pa["lin_std"]
+                prior = prior + 0.5 * jnp.sum(s * s)
+            bad = jnp.logical_or(jnp.isnan(m), m >= LOG_ZERO * 0.1)
+            return jnp.where(bad, LOG_ZERO, m + prior), d
+
+        def reject(P):
+            return jnp.asarray(LOG_ZERO, P.dtype), jnp.zeros((num_derived,), P.dtype)
+
+        return jax.lax.cond(inb, evaluate, reject, P)
+
+    return bounded
+
+
+@dataclass
+class MetropolisSampler:
+    """Runs segments of vmapped Metropolis steps under jit."""
+    proposal: BlockedProposal
+    logpost_fn: Callable                      # P (n,) -> (mloglike, derived (nd,))
+    num_derived: int = 0
+    temperature: float = 1.0
+
+    def __post_init__(self):
+        self._vlogpost = jax.vmap(self.logpost_fn)
+        self._run_segment = None
+
+    # ---------- initialization ----------
+
+    def init_state(self, key: jax.Array, P0: jnp.ndarray) -> ChainState:
+        nchains = P0.shape[0]
+        k_rot, k_run = jax.random.split(key)
+        mll, der = self._vlogpost(P0)
+        return ChainState(P0, mll, der, tuple(self.proposal.init_rotations(k_rot, nchains)),
+                          k_run, jnp.zeros((nchains,), jnp.int32),
+                          self.proposal.mapping)
+
+    # ---------- one step ----------
+
+    def step(self, state: ChainState, sched_t) -> Tuple[ChainState, Tuple]:
+        block, direction, refresh = sched_t
+        key, k_prop, k_acc = jax.random.split(state.key, 3)
+        trial, rots = self.proposal.propose(k_prop, state.P, list(state.rots),
+                                            block, direction, refresh,
+                                            mapping=state.mapping)
+        mll_t, der_t = self._vlogpost(trial)
+        # Metropolis accept in -logL units with temperature
+        # (MCMC.f90:119-131: accept if better, else with prob exp(-(dLogL)/T))
+        dl = (mll_t - state.mloglike) / self.temperature
+        u = jax.random.exponential(k_acc, dl.shape, dl.dtype)
+        acc = jnp.logical_and(mll_t < LOG_ZERO * 0.1, (mll_t < state.mloglike) | (u > dl))
+        P = jnp.where(acc[:, None], trial, state.P)
+        mll = jnp.where(acc, mll_t, state.mloglike)
+        der = jnp.where(acc[:, None], der_t, state.derived)
+        new = ChainState(P, mll, der, tuple(rots), key,
+                         state.num_accept + acc.astype(jnp.int32), state.mapping)
+        return new, (acc, P, mll, der)
+
+    # ---------- a compiled segment ----------
+
+    def run_segment(self, state: ChainState, schedule: ProposalSchedule
+                    ) -> Tuple[ChainState, SegmentOutput]:
+        sched = (jnp.asarray(schedule.block), jnp.asarray(schedule.direction),
+                 jnp.asarray(schedule.refresh))
+        if self._run_segment is None:
+            def seg(state, sched):
+                def body(st, xs):
+                    return self.step(st, xs)
+                final, outs = jax.lax.scan(body, state, sched)
+                return final, SegmentOutput(*outs)
+            self._run_segment = jax.jit(seg)
+        return self._run_segment(state, sched)

@@ -1,0 +1,216 @@
+"""Sampling run orchestrator: segments, burn-in, adaptation, convergence.
+
+Plays the role of the reference's TSetup%DoSampling + TMpiChainCollector
+(GeneralSetup.f90:115-144, SampleCollector.f90): run the compiled sampler in
+segments; between segments (host-side, cheap, float64):
+
+  - detect burn-in (reference: every used param changed >50 times,
+    SampleCollector.f90:353-407 — here: per-chain accepted-step count
+    exceeding 50 per proposal block, the lockstep equivalent);
+  - pool post-burn chain moments and compute Gelman-Rubin R-1
+    (UpdateCovAndCheckConverge :212-322);
+  - learn the proposal covariance from pooled samples while
+    R-1 < max_r_propose_update (:311-318);
+  - checkpoint (atomic tmp+rename, SampleCollector.f90:174-187);
+  - stop when R-1 < r_stop (MPI_R_Stop) or max samples reached.
+
+The MPI_ALLGATHER of per-rank statistics is replaced by array reductions
+over the chain axis (single host) or `psum` over a mesh axis (multi-host).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cosmomc_tpu.sampling.metropolis import MetropolisSampler, ChainState
+from cosmomc_tpu.sampling.proposal import BlockedProposal
+from cosmomc_tpu.sampling.convergence import gelman_rubin_r
+from cosmomc_tpu.io.chains import ChainWriter
+
+
+@dataclass
+class RunConfig:
+    nchains: int = 128
+    segment_steps: int = 256
+    max_steps: int = 4_000_000          # reference `samples` budget
+    r_stop: float = 0.01                # MPI_R_Stop
+    max_r_propose_update: float = 2.0   # MPI_Max_R_ProposeUpdate
+    burn_accepts_per_block: int = 50
+    min_burn_segments: int = 1
+    stats_thin: int = 4                 # keep every k-th step for statistics
+    learn_propose: bool = True
+    checkpoint_freq_segments: int = 10
+    seed: int = 0
+
+
+@dataclass
+class RunResult:
+    steps: int
+    r_minus_1: float
+    burned_in_at: int
+    accept_rate: float
+    means: np.ndarray
+    cov: np.ndarray
+    wall_s: float
+    stopped_on: str
+
+
+class SamplingRun:
+    def __init__(self, sampler: MetropolisSampler, cfg: RunConfig,
+                 start_P: np.ndarray, chain_root: Optional[str] = None,
+                 feedback: int = 1):
+        self.sampler = sampler
+        self.cfg = cfg
+        self.feedback = feedback
+        self.rng = np.random.default_rng(cfg.seed + 1)
+        key = jax.random.PRNGKey(cfg.seed)
+        self.state = sampler.init_state(key, jnp.asarray(start_P, jnp.float32))
+        self.writer = ChainWriter(chain_root, cfg.nchains) if chain_root else None
+        self.chain_root = chain_root
+        self.nblocks = len(sampler.proposal.block_sizes)
+        self._stats: List[np.ndarray] = []   # post-burn thinned samples (S', C, n)
+        self.steps_done = 0
+        self.burned_in_at = -1
+        self.r_current = np.inf
+
+    # ---------- main loop ----------
+
+    def run(self) -> RunResult:
+        cfg = self.cfg
+        t0 = time.time()
+        stopped_on = "max_steps"
+        seg_i = 0
+        while self.steps_done < cfg.max_steps:
+            sched = self.sampler.proposal.make_schedule(cfg.segment_steps, self.rng)
+            self.state, out = self.sampler.run_segment(self.state, sched)
+            acc = np.asarray(out.accept)
+            P = np.asarray(out.P)
+            mll = np.asarray(out.mloglike)
+            der = np.asarray(out.derived)
+            self.steps_done += cfg.segment_steps
+            seg_i += 1
+
+            burned = self._check_burn_in(seg_i)
+            if burned:
+                self._stats.append(P[::cfg.stats_thin].astype(np.float64))
+                if self.writer is not None:
+                    self.writer.add_segment(acc, P, mll, der)
+                r = self._update_convergence_and_proposal()
+                if self.feedback > 0 and seg_i % 4 == 0:
+                    ar = float(np.asarray(self.state.num_accept).mean()) / self.steps_done
+                    print(f"[{self.steps_done:>8d} steps] R-1 = {r:.4f}  "
+                          f"acc = {ar:.3f}", flush=True)
+                if r < cfg.r_stop:
+                    stopped_on = "converged"
+                    break
+            if self.writer is not None and seg_i % cfg.checkpoint_freq_segments == 0:
+                self.checkpoint()
+
+        if self.writer is not None:
+            self.writer.close()
+            self.checkpoint()
+        means, cov = self._pooled_moments()
+        ar = float(np.asarray(self.state.num_accept).mean()) / max(self.steps_done, 1)
+        return RunResult(self.steps_done, self.r_current, self.burned_in_at, ar,
+                         means, cov, time.time() - t0, stopped_on)
+
+    # ---------- burn-in ----------
+
+    def _check_burn_in(self, seg_i: int) -> bool:
+        if self.burned_in_at >= 0:
+            return True
+        if seg_i < self.cfg.min_burn_segments:
+            return False
+        need = self.cfg.burn_accepts_per_block * self.nblocks
+        accepts = np.asarray(self.state.num_accept)
+        if np.min(accepts) >= need:
+            self.burned_in_at = self.steps_done
+            if self.feedback > 0:
+                print(f"burn-in done at step {self.steps_done}", flush=True)
+            return True
+        return False
+
+    # ---------- convergence + adaptation ----------
+
+    def _pooled_moments(self):
+        if not self._stats:
+            P = np.asarray(self.state.P, np.float64)
+            return P.mean(axis=0), np.cov(P.T) if P.shape[1] > 1 else np.var(P.T)[None, None]
+        x = np.concatenate(self._stats, axis=0)          # (S', C, n)
+        half = x[x.shape[0] // 2:]                       # second half of post-burn
+        flat = half.reshape(-1, half.shape[-1])
+        mu = flat.mean(axis=0)
+        xc = flat - mu
+        cov = xc.T @ xc / flat.shape[0]
+        return mu, cov
+
+    def _update_convergence_and_proposal(self) -> float:
+        x = np.concatenate(self._stats, axis=0)          # (S', C, n)
+        half = x[x.shape[0] // 2:]
+        # per-chain moments over the retained window
+        means = half.mean(axis=0)                        # (C, n)
+        xc = half - means[None, :, :]
+        covs = np.einsum("sci,scj->cij", xc, xc) / half.shape[0]
+        try:
+            r = gelman_rubin_r(means, covs)
+        except np.linalg.LinAlgError:
+            r = np.inf
+        self.r_current = r
+        if (self.cfg.learn_propose and r < self.cfg.max_r_propose_update
+                and half.shape[0] * half.shape[1] > 10 * means.shape[1]):
+            flat = half.reshape(-1, half.shape[-1])
+            mu = flat.mean(axis=0)
+            cov = (flat - mu).T @ (flat - mu) / flat.shape[0]
+            try:
+                self.sampler.proposal.set_covariance(cov)
+                # push the new mapping into the device state so the next
+                # compiled segment actually uses it
+                self.state = self.state._replace(
+                    mapping=self.sampler.proposal.mapping)
+            except np.linalg.LinAlgError:
+                pass
+        # cap memory: thin stored stats if very large (reference thins >500k)
+        if x.shape[0] * x.shape[1] > 2_000_000:
+            self._stats = [x[::2]]
+        return r
+
+    # ---------- checkpoint / resume ----------
+
+    def checkpoint(self) -> None:
+        if self.chain_root is None:
+            return
+        path = self.chain_root + ".chk.npz"
+        tmp = path + ".tmp.npz"
+        st = self.state
+        np.savez(
+            tmp,
+            P=np.asarray(st.P), mloglike=np.asarray(st.mloglike),
+            derived=np.asarray(st.derived), key=np.asarray(st.key),
+            num_accept=np.asarray(st.num_accept),
+            steps_done=self.steps_done, burned_in_at=self.burned_in_at,
+            propose_cov=self.sampler.proposal.covariance,
+            **{f"rot_{i}": np.asarray(r) for i, r in enumerate(st.rots)},
+        )
+        os.replace(tmp, path)
+
+    def resume(self) -> bool:
+        path = (self.chain_root or "") + ".chk.npz"
+        if not self.chain_root or not os.path.isfile(path):
+            return False
+        z = np.load(path)
+        rots = tuple(jnp.asarray(z[f"rot_{i}"]) for i in range(self.nblocks))
+        self.sampler.proposal.set_covariance(z["propose_cov"])
+        self.state = ChainState(
+            jnp.asarray(z["P"]), jnp.asarray(z["mloglike"]),
+            jnp.asarray(z["derived"]), rots, jnp.asarray(z["key"]),
+            jnp.asarray(z["num_accept"]), self.sampler.proposal.mapping)
+        self.steps_done = int(z["steps_done"])
+        self.burned_in_at = int(z["burned_in_at"])
+        return True

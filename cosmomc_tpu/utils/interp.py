@@ -1,0 +1,194 @@
+"""JAX-native interpolation: cubic splines (1D) and bicubic grids (2D).
+
+Replaces the reference's TCubicSpline / TRegularCubicSpline /
+TInterpGrid2D (source/Interpolation.f90:18-120) with pure, differentiable,
+jit-able functions. Coefficients are computed by a Thomas-algorithm
+tridiagonal solve expressed as `lax.scan` (O(n), differentiable), so splines
+can be built *inside* jit on traced data — essential because theory
+predictions (C_l, P(k,z)) are spline-represented and must stay on-device.
+
+Evaluation uses `searchsorted` + Horner, fully vectorized. Out-of-range
+behavior: clamped to boundary polynomial (callers wanting log-linear
+extrapolation, e.g. P(k) beyond kmax as in CosmoTheory.f90:103-132, handle
+that explicitly).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _thomas(dl, d, du, b):
+    """Solve tridiagonal system with sub/main/super diagonals dl, d, du.
+
+    dl[0] and du[-1] are ignored. O(n) forward sweep + back substitution as
+    two scans; differentiable and vmappable.
+    """
+    n = d.shape[0]
+
+    def fwd(carry, x):
+        cp_prev, dp_prev = carry
+        a_i, b_i, c_i, r_i = x
+        denom = b_i - a_i * cp_prev
+        cp = c_i / denom
+        dp = (r_i - a_i * dp_prev) / denom
+        return (cp, dp), (cp, dp)
+
+    a = jnp.concatenate([jnp.zeros((1,), d.dtype), dl[1:]])
+    _, (cps, dps) = lax.scan(fwd, (jnp.zeros((), d.dtype), jnp.zeros((), d.dtype)),
+                             (a, d, du, b))
+
+    def bwd(x_next, x):
+        cp_i, dp_i = x
+        x_i = dp_i - cp_i * x_next
+        return x_i, x_i
+
+    _, xs = lax.scan(bwd, jnp.zeros((), d.dtype), (cps, dps), reverse=True)
+    return xs
+
+
+class Spline(NamedTuple):
+    """Natural cubic spline y(x) on knots x (strictly increasing)."""
+    x: jnp.ndarray   # (n,)
+    y: jnp.ndarray   # (n,)
+    y2: jnp.ndarray  # (n,) second derivatives at knots
+
+
+def spline_fit(x: jnp.ndarray, y: jnp.ndarray, bc_start: float | None = None,
+               bc_end: float | None = None) -> Spline:
+    """Build cubic spline. bc_* are endpoint first derivatives (None=natural).
+
+    Mirrors the contract of TCubicSpline%Init (Interpolation.f90), which also
+    supports clamped or natural ends.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n = x.shape[0]
+    h = jnp.diff(x)                      # (n-1,)
+    dy = jnp.diff(y) / h                 # slopes
+
+    # interior equations: h[i-1] y2[i-1] + 2(h[i-1]+h[i]) y2[i] + h[i] y2[i+1]
+    #                     = 6 (dy[i] - dy[i-1])
+    dl = jnp.concatenate([jnp.zeros((1,), x.dtype), h])            # (n,) sub
+    du = jnp.concatenate([h, jnp.zeros((1,), x.dtype)])            # (n,) super
+    d = jnp.concatenate([jnp.ones((1,), x.dtype),
+                         2.0 * (h[:-1] + h[1:]),
+                         jnp.ones((1,), x.dtype)])
+    b = jnp.concatenate([jnp.zeros((1,), x.dtype),
+                         6.0 * (dy[1:] - dy[:-1]),
+                         jnp.zeros((1,), x.dtype)])
+    if bc_start is None:
+        # natural: y2[0] = 0 -> d=1, du=0, b=0 (already set)
+        du = du.at[0].set(0.0)
+    else:
+        # clamped: 2 h0 y2[0] + h0 y2[1] = 6 (dy0 - bc_start)
+        d = d.at[0].set(2.0 * h[0])
+        du = du.at[0].set(h[0])
+        b = b.at[0].set(6.0 * (dy[0] - bc_start))
+    if bc_end is None:
+        dl = dl.at[-1].set(0.0)
+    else:
+        d = d.at[-1].set(2.0 * h[-1])
+        dl = dl.at[-1].set(h[-1])
+        b = b.at[-1].set(6.0 * (bc_end - dy[-1]))
+
+    y2 = _thomas(dl, d, du, b)
+    return Spline(x, y, y2)
+
+
+def spline_eval(sp: Spline, xq: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate spline at xq (any shape). Clamps outside [x0, xn]."""
+    x, y, y2 = sp
+    i = jnp.clip(jnp.searchsorted(x, xq, side="right") - 1, 0, x.shape[0] - 2)
+    xl, xr = x[i], x[i + 1]
+    h = xr - xl
+    a = (xr - xq) / h
+    b = (xq - xl) / h
+    return (a * y[i] + b * y[i + 1]
+            + ((a ** 3 - a) * y2[i] + (b ** 3 - b) * y2[i + 1]) * h ** 2 / 6.0)
+
+
+def spline_eval_deriv(sp: Spline, xq: jnp.ndarray) -> jnp.ndarray:
+    x, y, y2 = sp
+    i = jnp.clip(jnp.searchsorted(x, xq, side="right") - 1, 0, x.shape[0] - 2)
+    xl, xr = x[i], x[i + 1]
+    h = xr - xl
+    a = (xr - xq) / h
+    b = (xq - xl) / h
+    return ((y[i + 1] - y[i]) / h
+            + ((3 * b ** 2 - 1) * y2[i + 1] - (3 * a ** 2 - 1) * y2[i]) * h / 6.0)
+
+
+def spline_integral(sp: Spline) -> jnp.ndarray:
+    """Exact integral of the spline over its full range."""
+    x, y, y2 = sp
+    h = jnp.diff(x)
+    return jnp.sum(h * (y[:-1] + y[1:]) / 2.0 - h ** 3 * (y2[:-1] + y2[1:]) / 24.0)
+
+
+def spline_cumint(sp: Spline) -> jnp.ndarray:
+    """Cumulative integral at each knot (starts at 0)."""
+    x, y, y2 = sp
+    h = jnp.diff(x)
+    seg = h * (y[:-1] + y[1:]) / 2.0 - h ** 3 * (y2[:-1] + y2[1:]) / 24.0
+    return jnp.concatenate([jnp.zeros((1,), x.dtype), jnp.cumsum(seg)])
+
+
+# ---------------------------------------------------------------------------
+# Regular-grid bicubic interpolation (2D), replacing TInterpGrid2D.
+# Implemented as two passes of Catmull-Rom style cubic convolution on a
+# regular grid — cheap, vectorized, and adequate for the smooth (log k, z)
+# surfaces it is used for (matter power, BBN tables).
+# ---------------------------------------------------------------------------
+
+class Grid2D(NamedTuple):
+    x: jnp.ndarray   # (nx,) regular
+    y: jnp.ndarray   # (ny,) regular
+    z: jnp.ndarray   # (nx, ny)
+
+
+def _cubic_weights(t, dtype):
+    """Catmull-Rom weights for fractional position t in [0,1)."""
+    t2 = t * t
+    t3 = t2 * t
+    w0 = -0.5 * t3 + t2 - 0.5 * t
+    w1 = 1.5 * t3 - 2.5 * t2 + 1.0
+    w2 = -1.5 * t3 + 2.0 * t2 + 0.5 * t
+    w3 = 0.5 * t3 - 0.5 * t2
+    return jnp.stack([w0, w1, w2, w3]).astype(dtype)
+
+
+def grid2d_eval(g: Grid2D, xq: jnp.ndarray, yq: jnp.ndarray) -> jnp.ndarray:
+    """Bicubic interpolation at scalar or array query points (clamped)."""
+    nx, ny = g.z.shape
+    dx = g.x[1] - g.x[0]
+    dy = g.y[1] - g.y[0]
+    fx = (xq - g.x[0]) / dx
+    fy = (yq - g.y[0]) / dy
+    ix = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx - 2)
+    iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ny - 2)
+    tx = jnp.clip(fx - ix, 0.0, 1.0)
+    ty = jnp.clip(fy - iy, 0.0, 1.0)
+    wx = _cubic_weights(tx, g.z.dtype)  # (4, ...)
+    wy = _cubic_weights(ty, g.z.dtype)
+
+    def gather(di, dj):
+        return g.z[jnp.clip(ix + di - 1, 0, nx - 1), jnp.clip(iy + dj - 1, 0, ny - 1)]
+
+    out = jnp.zeros_like(tx)
+    for di in range(4):
+        row = jnp.zeros_like(tx)
+        for dj in range(4):
+            row = row + wy[dj] * gather(di, dj)
+        out = out + wx[di] * row
+    return out
+
+
+def linear_interp(x: jnp.ndarray, xp: jnp.ndarray, fp: jnp.ndarray) -> jnp.ndarray:
+    """jnp.interp equivalent that works on sorted xp with clamping."""
+    return jnp.interp(x, xp, fp)
