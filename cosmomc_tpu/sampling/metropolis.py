@@ -69,13 +69,17 @@ def make_bounded_posterior(logpost_fn: Callable, lo: jnp.ndarray, hi: jnp.ndarra
             m, d = logpost_fn(P)
             prior = jnp.zeros((), P.dtype)
             if "has_prior" in pa:
-                t = (P - pa["prior_mean"]) / pa["prior_std"]
+                t = (P - pa["prior_mean"].astype(P.dtype)) / pa["prior_std"].astype(P.dtype)
                 prior = prior + 0.5 * jnp.sum(jnp.where(pa["has_prior"], t * t, 0.0))
             if "lin_w" in pa and pa["lin_w"].shape[0] > 0:
-                s = (pa["lin_w"] @ P - pa["lin_mean"]) / pa["lin_std"]
+                s = ((pa["lin_w"].astype(P.dtype) @ P - pa["lin_mean"].astype(P.dtype))
+                     / pa["lin_std"].astype(P.dtype))
                 prior = prior + 0.5 * jnp.sum(s * s)
             bad = jnp.logical_or(jnp.isnan(m), m >= LOG_ZERO * 0.1)
-            return jnp.where(bad, LOG_ZERO, m + prior), d
+            # cast both outputs to the input dtype so the cond branches agree
+            # regardless of internal upcasts in the theory path
+            return (jnp.where(bad, LOG_ZERO, m + prior).astype(P.dtype),
+                    d.astype(P.dtype))
 
         def reject(P):
             return jnp.asarray(LOG_ZERO, P.dtype), jnp.zeros((num_derived,), P.dtype)
