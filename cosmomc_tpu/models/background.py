@@ -154,42 +154,41 @@ def dtauda(bg: BackgroundParams, a):
 # Distances
 # ---------------------------------------------------------------------------
 
-N_CHI_GRID = 300
+N_CHI_GRID = 2048
 Z_GRID_MAX = 1100.0 * 3  # covers recombination for theta
 
 
-def _chi_spline(bg: BackgroundParams, zmax: float = Z_GRID_MAX,
-                n: int = N_CHI_GRID) -> Spline:
-    """Cumulative comoving distance chi(z-grid) spline, static shapes.
+class BackgroundFunctions(NamedTuple):
+    """Precomputed distance tables for one parameter point.
 
-    Grid in log(1+z) from 0 to log(1+zmax); chi = int c dz / H = int dtauda da.
-    """
-    lz = jnp.linspace(0.0, jnp.log1p(zmax), n).astype(bg.ombh2.dtype)
+    Built with cumulative trapezoid on a dense log(1+z) grid + linear
+    interpolation — deliberately NO cubic-spline (Thomas) solves: those are
+    sequential scans, and nested inside the sampler's step scan they blow
+    up XLA compile time and serialize the TPU. 2048 points give ~1e-6
+    relative distance accuracy, all embarrassingly parallel."""
+    bg: BackgroundParams
+    lz_grid: jnp.ndarray      # (N,) log(1+z)
+    chi_grid: jnp.ndarray     # (N,) comoving radial distance, Mpc
+    curvature_k: jnp.ndarray  # omk h^2 signal
+
+
+def background_functions(bg: BackgroundParams, zmax: float = Z_GRID_MAX,
+                         n: int = N_CHI_GRID) -> BackgroundFunctions:
+    d = _densities(bg)
+    lz = jnp.linspace(0.0, jnp.log1p(zmax), n).astype(jnp.asarray(bg.ombh2).dtype)
     z = jnp.expm1(lz)
     a = 1.0 / (1.0 + z)
-    # d chi / d log(1+z) = (1+z)/H_Mpc(z) * dz/dlog(1+z)... chi = int dz/H
-    # with x = log(1+z): dz = (1+z) dx
-    integrand = (1.0 + z) / hubble_mpc(bg, a)
-    sp = spline_fit(lz, integrand)
-    cum = spline_cumint(sp)
-    return spline_fit(lz, cum)
-
-
-class BackgroundFunctions(NamedTuple):
-    """Precomputed distance tables for one parameter point."""
-    bg: BackgroundParams
-    chi: Spline          # comoving radial distance vs log(1+z), Mpc
-    curvature_k: jnp.ndarray  # curvature density signal: -omk h^2 / (c/H100)^2
-
-
-def background_functions(bg: BackgroundParams) -> BackgroundFunctions:
-    d = _densities(bg)
-    return BackgroundFunctions(bg, _chi_spline(bg), d["omkh2"])
+    # chi = int dz / H_mpc ; in x = log(1+z): dchi/dx = (1+z)/H
+    f = (1.0 + z) / hubble_mpc(bg, a)
+    dx = lz[1] - lz[0]
+    seg = 0.5 * (f[1:] + f[:-1]) * dx
+    chi = jnp.concatenate([jnp.zeros((1,), f.dtype), jnp.cumsum(seg)])
+    return BackgroundFunctions(bg, lz, chi, d["omkh2"])
 
 
 def comoving_radial_distance(bf: BackgroundFunctions, z):
     """chi(z) in Mpc (Calculator_Cosmology ComovingRadialDistance)."""
-    return spline_eval(bf.chi, jnp.log1p(jnp.asarray(z)))
+    return jnp.interp(jnp.log1p(jnp.asarray(z)), bf.lz_grid, bf.chi_grid)
 
 
 def _rofchi(bf: BackgroundFunctions, chi):
@@ -274,7 +273,7 @@ def cosmomc_theta(bg: BackgroundParams):
     rs = sound_horizon(bg, astar)
     chi = _chi_direct(bg, astar)
     d = _densities(bg)
-    bf_like = BackgroundFunctions(bg, None, d["omkh2"])
+    bf_like = BackgroundFunctions(bg, None, None, d["omkh2"])
     dm = _rofchi(bf_like, chi)
     return rs / dm
 

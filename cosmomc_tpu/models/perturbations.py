@@ -1,0 +1,522 @@
+"""Linear Einstein-Boltzmann evolution: synchronous gauge, batched over k.
+
+Replaces the reference's camb/equations_ppf.f90 GaugeInterface + cmbmain
+DoSourcek OMP loop (cmbmain.f90:198,657) with a TPU-native design:
+
+  - equations: Ma & Bertschinger (1995) synchronous-gauge system — CDM,
+    baryons, photon temperature + polarization hierarchies, massless
+    neutrino hierarchy, metric (eta; h' from the 00-constraint);
+  - tight coupling: first-order quasi-static slip (MB95 eq 67 family),
+    switched per-k with `jnp.where` on k*tau_c — all lanes run the same
+    code, the compiler sees NO control flow;
+  - time stepping: classical RK4 on a FIXED shared conformal-time grid
+    whose density follows the opacity (d tau ~ 1/kappa') so the post-tight-
+    coupling scattering terms are stable for an explicit method; one
+    `lax.scan` over the grid, vmapped over k. No adaptive control flow, no
+    per-k loops: the whole Boltzmann solve is one XLA program of static
+    shape (nk, nstep);
+  - sources: computed algebraically at every grid node (Newtonian-gauge
+    potentials from the constraint equations; ISW from phi'+psi' with
+    sigma' taken from the hierarchy RHS — no numerical time derivatives);
+  - normalization: initial comoving curvature R measured numerically from
+    the start state, transfers divided by it (removes IC-normalization
+    convention risk).
+
+Massive neutrinos are treated as massless in the perturbations at this
+stage (exact in the background); for sum mnu = 0.06 eV this biases C_l at
+the <~0.1% level — revisit with a momentum-sampled hierarchy.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cosmomc_tpu.models import constants as const
+from cosmomc_tpu.models.background import (BackgroundParams, _densities,
+                                           hubble_mpc, H100_MPC)
+from cosmomc_tpu.models.recfast import compute_thermo
+from cosmomc_tpu.models.reionization import xe_reion, zre_from_tau
+
+# hierarchy truncations (CAMB defaults are comparable: lmaxg~12, lmaxnr~...)
+LMAXG = 12      # photon temperature multipoles 0..LMAXG
+LMAXGP = 8      # photon polarization 0..LMAXGP
+LMAXNR = 10     # massless neutrinos 0..LMAXNR
+
+# state layout offsets
+_I_ETA = 0
+_I_DC = 1
+_I_DB = 2
+_I_TB = 3
+_I_DG = 4        # delta_gamma
+_I_TG = 5        # theta_gamma
+_I_FG2 = 6       # F_gamma_l for l=2..LMAXG  (FG2 = 2 sigma_gamma)
+_I_GP0 = _I_FG2 + (LMAXG - 1)        # G_l for l=0..LMAXGP
+_I_DN = _I_GP0 + (LMAXGP + 1)        # delta_nu
+_I_TN = _I_DN + 1
+_I_FN2 = _I_TN + 1                   # F_nu_l for l=2..LMAXNR
+NVAR = _I_FN2 + (LMAXNR - 1)
+
+N_STEP = 8192     # shared tau grid length (static)
+
+
+class ThermoFuncs(NamedTuple):
+    """Interpolation tables in tau for the evolution (all shape (N,))."""
+    tau: jnp.ndarray
+    a: jnp.ndarray
+    opac: jnp.ndarray      # kappa' = a n_e sigma_T in 1/Mpc
+    expmk: jnp.ndarray     # e^{-kappa(tau,tau0)}
+    vis: jnp.ndarray       # g = kappa' e^{-kappa}
+    csqb: jnp.ndarray      # baryon sound speed^2
+
+
+class PerturbationOutput(NamedTuple):
+    tau: jnp.ndarray         # (nstep,) source times
+    k: jnp.ndarray           # (nk,)
+    # temperature/polarization source functions, shape (nk, nstep):
+    s0: jnp.ndarray          # g(Theta0 + psi + Pi/4) + e^-k (phi'+psi')
+    s1: jnp.ndarray          # g v_b_N (Doppler; pairs with j_l')
+    s2: jnp.ndarray          # (3/4) g Pi (pairs with j_l'')
+    spol: jnp.ndarray        # (3/4) g Pi (E polarization source)
+    slens: jnp.ndarray       # e^-kappa (phi + psi) (lensing potential)
+    # matter transfer at the final time (z=0 snapshot) and curvature norm:
+    delta_m: jnp.ndarray     # (nk,) comoving matter density transfer at tau0
+    r_init: jnp.ndarray      # (nk,) initial comoving curvature (normalizer)
+    tau0: jnp.ndarray        # conformal age
+    # extra snapshots of delta_m at requested redshifts: (nz, nk)
+    delta_m_z: jnp.ndarray
+    growth_tau: jnp.ndarray  # (nstep,) unused placeholder
+
+
+def _conformal_time_table(bg: BackgroundParams, n: int = 4096):
+    """tau(a) on a fine log-a grid by cumulative trapezoid (parallel)."""
+    dtype = jnp.asarray(bg.ombh2).dtype
+    lna = jnp.linspace(jnp.log(1e-9), 0.0, n).astype(dtype)
+    a = jnp.exp(lna)
+    # dtau/dlna = 1/(a H)
+    f = 1.0 / (a * hubble_mpc(bg, a))
+    dl = lna[1] - lna[0]
+    seg = 0.5 * (f[1:] + f[:-1]) * dl
+    tau = jnp.concatenate([f[0] * a[0:1] * 0 + f[0] * 0, jnp.cumsum(seg)])
+    # radiation-era analytic start: tau(a0) ~ a0/(a'..) = a0/(H100*sqrt(or))
+    d = _densities(bg)
+    tau0_rad = a[0] / (H100_MPC * jnp.sqrt(d["ogh2"] + d["onu1"] * (d["massless_deg"] + d["massive_deg"])))
+    tau = tau + tau0_rad
+    return lna, tau
+
+
+def build_thermo_funcs(bg: BackgroundParams, yhe, tau_reion: float | jnp.ndarray,
+                       n_step: int = N_STEP) -> Tuple[ThermoFuncs, jnp.ndarray]:
+    """Thermal/background tables on the shared evolution grid.
+
+    Returns (ThermoFuncs on the tau grid, tau0). The tau grid density
+    follows max(opacity, expansion, late-time cap) so explicit RK4 is
+    stable and sources are resolved (see module docstring).
+    """
+    dtype = jnp.asarray(bg.ombh2).dtype
+    lna_tab, tau_tab = _conformal_time_table(bg)
+    tau0 = tau_tab[-1]
+
+    # thermo: recfast + reionization on a z grid; then map to tau
+    th = compute_thermo(bg, yhe)
+    fHe = yhe / (const.mass_ratio_He_H * (1.0 - yhe))
+    zre = zre_from_tau(bg, tau_reion, yhe)
+    z_t = th.z[::-1]                     # ascending z
+    xe_rec = th.xe[::-1]
+    xe_tot = xe_rec + xe_reion(z_t, zre, fHe)
+    tm_t = th.tm[::-1]
+
+    h = bg.H0 / 100.0
+    H0_si = bg.H0 * 1e3 / const.Mpc
+    mu_H = 1.0 / (1.0 - yhe)
+    Nnow = 3.0 * H0_si ** 2 * (bg.ombh2 / h ** 2) / (const.kappa * mu_H * const.m_H)
+    akthom = const.sigma_thomson * Nnow * const.Mpc
+
+    # kappa' = d kappa/d tau = a n_e sigma_T in 1/Mpc (comoving):
+    # n_e = xe Nnow (1+z)^3  ->  kappa' = akthom xe (1+z)^2
+    def opac_of_z(z):
+        xe = jnp.where(z > 9000.0, 1.0 + 2.0 * fHe, jnp.interp(z, z_t, xe_tot))
+        return akthom * xe * (1.0 + z) ** 2
+
+    # ---- build the tau grid (static length, dynamic values) ----
+    # start deep in radiation era, early enough that the highest k is still
+    # superhorizon (lanes are held on analytic ICs until k*tau ~ 0.08)
+    tau_start = jnp.asarray(0.03, dtype)
+    # target step: dtau = min(cap_late, c_op/opac, c_exp * tau)
+    # computed iteratively on a provisional uniform ln-tau grid then
+    # renormalized to exactly n_step points via cumulative rescaling.
+    n_prov = 4096
+    lt = jnp.linspace(jnp.log(tau_start), jnp.log(tau0), n_prov)
+    tprov = jnp.exp(lt)
+    a_prov = jnp.interp(tprov, tau_tab, jnp.exp(lna_tab))
+    z_prov = 1.0 / a_prov - 1.0
+    opac_prov = opac_of_z(z_prov)
+    # Stability rule for explicit RK4 after tight-coupling release:
+    # the photon-baryon scattering eigenvalue is ~ opac*(1+R) with
+    # R = 4 rho_g/(3 rho_b). Lanes release when k*tauc >= 0.01, so no lane
+    # feels opacities above ~ kmax/0.01 — cap opac there (the deep-TC era
+    # needs no opacity resolution). The late-time cap keeps k*dtau inside
+    # the RK4 imaginary-axis stability region for the free-streaming terms.
+    d = _densities(bg)
+    R_prov = (4.0 / 3.0) * d["ogh2"] / bg.ombh2 / a_prov
+    kmax_assumed = 0.5
+    # active stiffness: opac*(1+R) wherever lanes may be off tight coupling
+    # (the rhs keeps every lane TCA while opac*(1+R) > 150, so higher rates
+    # never constrain the grid)
+    lam = opac_prov * (1.0 + R_prov)
+    lam_active = jnp.where(lam <= 150.0, lam, 0.0)
+    dt_target = jnp.minimum(
+        jnp.minimum(jnp.minimum(5.0, 2.2 / kmax_assumed),
+                    1.2 / jnp.maximum(lam_active, 1e-10)),
+        0.1 * tprov)
+    # density ~ 1/dt_target; cumulative "step count" N(tau)
+    dens = 1.0 / dt_target
+    cum = jnp.concatenate([jnp.zeros((1,), dtype),
+                           jnp.cumsum(0.5 * (dens[1:] + dens[:-1]) * jnp.diff(tprov))])
+    cum = cum / cum[-1] * (n_step - 1)
+    # invert: tau_i such that N(tau_i) = i
+    idx = jnp.arange(n_step, dtype=dtype)
+    tau_grid = jnp.interp(idx, cum, tprov)
+
+    a_g = jnp.interp(tau_grid, tau_tab, jnp.exp(lna_tab))
+    z_g = 1.0 / a_g - 1.0
+    opac_g = opac_of_z(z_g)
+    # cumulative optical depth from tau0 backwards: kappa(tau) = int_tau^tau0
+    dk = 0.5 * (opac_g[1:] + opac_g[:-1]) * jnp.diff(tau_grid)
+    kappa_from = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(dk)])
+    kappa = kappa_from[-1] - kappa_from          # kappa(tau..tau0)
+    expmk = jnp.exp(-kappa)
+    vis = opac_g * expmk
+
+    # baryon sound speed on the grid
+    tm_g = jnp.where(z_g > 9000.0, bg.tcmb * (1.0 + z_g),
+                     jnp.interp(z_g, z_t, tm_t))
+    # dlnTm/dlna by finite differences on the grid
+    lnT = jnp.log(jnp.maximum(tm_g, 1e-10))
+    lnA = jnp.log(a_g)
+    dlnT = jnp.gradient(lnT, lnA)
+    xe_g = jnp.where(z_g > 9000.0, 1.0 + 2.0 * fHe, jnp.interp(z_g, z_t, xe_tot))
+    mu_b = 1.0 / (1.0 - (1.0 - 1.0 / const.mass_ratio_He_H) * yhe
+                  + xe_g * (1.0 - yhe))
+    csqb = (const.k_B * tm_g / (mu_b * const.m_H * const.c ** 2)
+            * (1.0 - dlnT / 3.0))
+
+    return ThermoFuncs(tau_grid, a_g, opac_g, expmk, vis, csqb), tau0
+
+
+def _grho_terms(bg: BackgroundParams, a):
+    """8 pi G a^2 rho_i in Mpc^-2 for each species (radiation splits)."""
+    d = _densities(bg)
+    C = 3.0 * H100_MPC ** 2
+    grho_g = C * d["ogh2"] / a ** 2
+    # treat all neutrinos as massless radiation in perturbations
+    grho_n = C * d["onu1"] * (d["massless_deg"] + d["massive_deg"]
+                              * 1.0) / a ** 2
+    grho_c = C * bg.omch2 / a
+    grho_b = C * bg.ombh2 / a
+    grho_de = C * d["omdeh2"] * a ** (2.0 - 3.0 * (1.0 + bg.w + bg.wa)) \
+        * jnp.exp(-3.0 * bg.wa * (1.0 - a))
+    grho_k = C * d["omkh2"]      # curvature (a^0 in a^2 rho units... a^2*a^-2)
+    return grho_g, grho_n, grho_c, grho_b, grho_de, grho_k
+
+
+def make_rhs(bg: BackgroundParams, tf: ThermoFuncs):
+    """Returns rhs(tau, y, k) -> (dy/dtau, aux dict) for vmapped use."""
+    dtype = tf.tau.dtype
+
+    def interp(tab, tau):
+        return jnp.interp(tau, tf.tau, tab)
+
+    def rhs(tau, y, k):
+        a = interp(tf.a, tau)
+        opac = interp(tf.opac, tau)
+        csqb = interp(tf.csqb, tau)
+        grho_g, grho_n, grho_c, grho_b, grho_de, grho_k = _grho_terms(bg, a)
+        grho = grho_g + grho_n + grho_c + grho_b + grho_de
+        adotoa = jnp.sqrt((grho + grho_k) / 3.0)          # conformal H = a'/a
+        w_de = bg.w + bg.wa * (1.0 - a)
+        gpres = (grho_g + grho_n) / 3.0 + w_de * grho_de
+
+        eta = y[_I_ETA]
+        dc, db, tb = y[_I_DC], y[_I_DB], y[_I_TB]
+        dg, tg = y[_I_DG], y[_I_TG]
+        fg = y[_I_FG2:_I_FG2 + (LMAXG - 1)]     # F_2..F_LMAXG
+        gp = y[_I_GP0:_I_GP0 + (LMAXGP + 1)]    # G_0..G_LMAXGP
+        dn, tn = y[_I_DN], y[_I_TN]
+        fn = y[_I_FN2:_I_FN2 + (LMAXNR - 1)]
+
+        k2 = k * k
+        tau_safe = jnp.maximum(tau, 1e-10)
+
+        # ---- tight coupling switch (per k, per time) ----
+        # stay tight-coupled until BOTH the TCA error parameter k*tauc has
+        # grown past ~0.015 AND the coupled-system stiffness opac*(1+R) is
+        # below what the shared grid resolves (see build_thermo_funcs);
+        # forced-late release costs (k tauc)^2 ~ 1e-3 accuracy on the worst
+        # lanes, far cheaper than the ~20k extra grid steps early release
+        # would demand of an explicit integrator
+        tauc = 1.0 / jnp.maximum(opac, 1e-30)
+        R_bg = (4.0 / 3.0) * grho_g / grho_b
+        tc_off = jnp.logical_and(k * tauc >= 0.015,
+                                 opac * (1.0 + R_bg) <= 150.0)
+        tc_on = jnp.logical_not(tc_off)
+
+        # ---- metric constraints (MB95 eq 21a,b) ----
+        dgrho = grho_c * dc + grho_b * db + grho_g * dg + grho_n * dn
+        hdot = (2.0 * k2 * eta + dgrho) / adotoa
+        dgq = (4.0 / 3.0) * (grho_g * tg + grho_n * tn) + grho_b * tb
+        etadot = 0.5 * dgq / k2
+
+        # ---- photon shear / polarization: evolved or TCA-slaved ----
+        # TCA quasi-equilibrium (from F2/G0/G2 balance incl. metric sources):
+        # F2 = (4/3) tauc [(8/15) tg + (4/15) hdot + (8/5) etadot]
+        fg2_tca = (4.0 / 3.0) * tauc * ((8.0 / 15.0) * tg
+                                        + (4.0 / 15.0) * hdot
+                                        + (8.0 / 5.0) * etadot)
+        fg2_eff = jnp.where(tc_on, fg2_tca, fg[0])
+        sigma_g = fg2_eff / 2.0
+        sigma_n = fn[0] / 2.0
+        pol_term = jnp.where(tc_on, 2.5 * fg2_tca, fg[0] + gp[0] + gp[2])
+
+        # anisotropic stress sum: 8 pi G a^2 (rho+p) sigma
+        dgpi = (4.0 / 3.0) * (grho_g * sigma_g + grho_n * sigma_n)
+
+        # ---- baryon/photon velocities ----
+        R = (4.0 / 3.0) * grho_g / grho_b      # 4 rho_g / (3 rho_b)
+        # full equations
+        tbdot_full = -adotoa * tb + csqb * k2 * db + R * opac * (tg - tb)
+        tgdot_full = k2 * (dg / 4.0 - sigma_g) + opac * (tb - tg)
+        # TCA leading order: common acceleration of the coupled fluid
+        tbdot_tca = (-adotoa * tb + csqb * k2 * db
+                     + R * k2 * (dg / 4.0 - sigma_g)) / (1.0 + R)
+        tbdot = jnp.where(tc_on, tbdot_tca, tbdot_full)
+        tgdot = jnp.where(tc_on, tbdot_tca, tgdot_full)
+
+        # ---- densities ----
+        dgdot = -(4.0 / 3.0) * tg - (2.0 / 3.0) * hdot
+        dbdot = -tb - 0.5 * hdot
+        dcdot = -0.5 * hdot
+        dndot = -(4.0 / 3.0) * tn - (2.0 / 3.0) * hdot
+        tndot = k2 * (dn / 4.0 - sigma_n)
+
+        # ---- photon temperature hierarchy F_2..F_LMAXG (MB95 eq 63) ----
+        f1 = 4.0 * tg / (3.0 * k)
+        fg_prev = jnp.concatenate([jnp.array([f1], dtype), fg[:-1]])
+        fg_next = jnp.concatenate([fg[1:], jnp.zeros((1,), dtype)])
+        ls_g = jnp.arange(2, LMAXG + 1, dtype=dtype)
+        fgdot = (k / (2 * ls_g + 1)) * (ls_g * fg_prev - (ls_g + 1) * fg_next) \
+            - opac * fg
+        fg2dot = (8.0 / 15.0) * tg - (3.0 / 5.0) * k * fg[1] \
+            + (4.0 / 15.0) * hdot + (8.0 / 5.0) * etadot \
+            - opac * (0.9 * fg[0] - 0.1 * (gp[0] + gp[2]))
+        fgdot = fgdot.at[0].set(fg2dot)
+        fgdot = fgdot.at[-1].set(
+            k * fg[-2] - (LMAXG + 1) / tau_safe * fg[-1] - opac * fg[-1])
+
+        # ---- photon polarization hierarchy G_0..G_LMAXGP (MB95 eq 64) ----
+        gp_prev = jnp.concatenate([jnp.zeros((1,), dtype), gp[:-1]])
+        gp_next = jnp.concatenate([gp[1:], jnp.zeros((1,), dtype)])
+        ls_p = jnp.arange(0, LMAXGP + 1, dtype=dtype)
+        gpdot = (k / (2 * ls_p + 1)) * (ls_p * gp_prev - (ls_p + 1) * gp_next) \
+            - opac * gp
+        gpdot = gpdot.at[0].add(opac * 0.5 * pol_term)
+        gpdot = gpdot.at[2].add(opac * 0.1 * pol_term)
+        gpdot = gpdot.at[-1].set(
+            k * gp[-2] - (LMAXGP + 1) / tau_safe * gp[-1] - opac * gp[-1])
+
+        # in deep TC, freeze the hierarchies at their (tiny) TCA values:
+        # the -opac F_l terms would be explicitly unstable there, and the
+        # slaved values are supplied through fg2_eff/pol_term above
+        fgdot = jnp.where(tc_on, jnp.zeros_like(fgdot), fgdot)
+        gpdot = jnp.where(tc_on, jnp.zeros_like(gpdot), gpdot)
+
+        # ---- massless neutrino hierarchy ----
+        f1n = 4.0 * tn / (3.0 * k)
+        fn_prev = jnp.concatenate([jnp.array([f1n], dtype), fn[:-1]])
+        fn_next = jnp.concatenate([fn[1:], jnp.zeros((1,), dtype)])
+        ls_n = jnp.arange(2, LMAXNR + 1, dtype=dtype)
+        fndot = (k / (2 * ls_n + 1)) * (ls_n * fn_prev - (ls_n + 1) * fn_next)
+        fn2dot = (8.0 / 15.0) * tn - (3.0 / 5.0) * k * fn[1] \
+            + (4.0 / 15.0) * hdot + (8.0 / 5.0) * etadot
+        fndot = fndot.at[0].set(fn2dot)
+        fndot = fndot.at[-1].set(
+            k * fn[-2] - (LMAXNR + 1) / tau_safe * fn[-1])
+
+        dy = jnp.concatenate([
+            jnp.stack([etadot, dcdot, dbdot, tbdot, dgdot, tgdot]),
+            fgdot, gpdot,
+            jnp.stack([dndot, tndot]), fndot])
+
+        # sigma' values for psi' (ISW): from the evolved/TCA derivative
+        sigg_dot = jnp.where(tc_on, jnp.zeros_like(fg2dot), fg2dot) / 2.0
+        sign_dot = fn2dot / 2.0
+        aux = dict(a=a, adotoa=adotoa, hdot=hdot, etadot=etadot, dgpi=dgpi,
+                   opac=opac, grho=grho, gpres=gpres,
+                   sigma_g=sigma_g, sigma_n=sigma_n,
+                   sigg_dot=sigg_dot, sign_dot=sign_dot,
+                   grho_g=grho_g, grho_n=grho_n, grho_b=grho_b,
+                   grho_c=grho_c, tbdot=tbdot, pol_term=pol_term)
+        return dy, aux
+
+    return rhs
+
+
+def adiabatic_ics(bg: BackgroundParams, tf: ThermoFuncs, k, tau):
+    """MB95 eq (96) adiabatic initial conditions (C=1), synchronous gauge."""
+    dtype = jnp.asarray(k).dtype
+    d = _densities(bg)
+    grho_g = d["ogh2"]
+    grho_n = d["onu1"] * (d["massless_deg"] + d["massive_deg"])
+    Rnu = grho_n / (grho_g + grho_n)
+    kt = k * tau
+    C = jnp.asarray(1.0, dtype)
+    y = jnp.zeros((NVAR,), dtype)
+    dg = -(2.0 / 3.0) * C * kt ** 2
+    y = y.at[_I_DG].set(dg)
+    y = y.at[_I_DC].set(0.75 * dg)
+    y = y.at[_I_DB].set(0.75 * dg)
+    y = y.at[_I_DN].set(dg)
+    theta = -(C / 18.0) * k ** 4 * tau ** 3 / k * k   # = -(C/18) k (kt)^3 ... keep dims: velocity divergence theta [1/Mpc]
+    theta = -(C / 18.0) * k * kt ** 3
+    y = y.at[_I_TG].set(theta)
+    y = y.at[_I_TB].set(theta)
+    y = y.at[_I_TN].set(-(C / 18.0) * k * kt ** 3
+                        * (23.0 + 4.0 * Rnu) / (15.0 + 4.0 * Rnu))
+    y = y.at[_I_FN2].set(2.0 * (2.0 * C * kt ** 2 / (3.0 * (15.0 + 4.0 * Rnu))))
+    y = y.at[_I_ETA].set(2.0 * C - C * (5.0 + 4.0 * Rnu)
+                         / (6.0 * (15.0 + 4.0 * Rnu)) * kt ** 2)
+    return y
+
+
+def measure_curvature(bg: BackgroundParams, tf: ThermoFuncs, y, k, tau):
+    """Comoving curvature R = eta - (a'/a) * sum (rho+p) theta / (k^2 sum(rho+p))."""
+    a = jnp.interp(tau, tf.tau, tf.a)
+    grho_g, grho_n, grho_c, grho_b, grho_de, grho_k = _grho_terms(bg, a)
+    grho = grho_g + grho_n + grho_c + grho_b + grho_de
+    adotoa = jnp.sqrt((grho + grho_k) / 3.0)
+    num = (4.0 / 3.0) * (grho_g * y[_I_TG] + grho_n * y[_I_TN]) \
+        + grho_b * y[_I_TB]
+    den = (4.0 / 3.0) * (grho_g + grho_n) + grho_b + grho_c
+    return y[_I_ETA] - adotoa * num / (k * k * den)
+
+
+# ---------------------------------------------------------------------------
+# Evolution driver
+# ---------------------------------------------------------------------------
+
+IC_RELEASE_KTAU = 0.08
+
+
+def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
+                         tau0: jnp.ndarray, k: jnp.ndarray,
+                         z_outputs: Tuple[float, ...] = (0.0,)
+                         ) -> PerturbationOutput:
+    """Evolve all k modes over the shared grid; emit sources per step.
+
+    One `lax.scan` over the tau grid; the state carries all k lanes
+    (nk, NVAR). Lanes are overwritten with analytic adiabatic ICs while
+    k*tau < IC_RELEASE_KTAU (exact superhorizon evolution), giving per-k
+    start times without control flow — the fixed-grid analog of the
+    reference's per-k adaptive integration start (cmbmain DoSourcek).
+    """
+    dtype = tf.tau.dtype
+    k = jnp.asarray(k, dtype)
+    nk = k.shape[0]
+    rhs = make_rhs(bg, tf)
+    vrhs = jax.vmap(rhs, in_axes=(None, 0, 0))
+
+    taus = tf.tau
+    y0 = jax.vmap(lambda kk: adiabatic_ics(bg, tf, kk, taus[0]))(k)
+    r_init = jax.vmap(lambda yy, kk: measure_curvature(bg, tf, yy, kk, taus[0])
+                      )(y0, k)
+    # r_init measured when each lane releases would be ideal; superhorizon
+    # conservation makes the initial-time value equivalent at this order.
+
+    def sources_at(tau, y, dy, aux, kk):
+        """Newtonian-gauge source functions at a grid node (vectorized in k)."""
+        k2 = kk * kk
+        vis = jnp.interp(tau, tf.tau, tf.vis)
+        expmk = jnp.interp(tau, tf.tau, tf.expmk)
+        alpha = (aux["hdot"] + 6.0 * aux["etadot"]) / (2.0 * k2)
+        X = 1.5 * aux["dgpi"] / k2
+        phi = y[_I_ETA] - aux["adotoa"] * alpha
+        psi = phi - X
+        dadotoa = -(aux["grho"] + 3.0 * aux["gpres"]) / 6.0
+        alphadot = y[_I_ETA] - X - 2.0 * aux["adotoa"] * alpha
+        phidot = aux["etadot"] - dadotoa * alpha - aux["adotoa"] * alphadot
+        # X' : dgpi' with grho_rad' = -2 aH grho_rad
+        dgpidot = (4.0 / 3.0) * (
+            -2.0 * aux["adotoa"] * (aux["grho_g"] * aux["sigma_g"]
+                                    + aux["grho_n"] * aux["sigma_n"])
+            + aux["grho_g"] * aux["sigg_dot"] + aux["grho_n"] * aux["sign_dot"])
+        psidot = phidot - 1.5 * dgpidot / k2
+        # gauge transform (MB95 eq 27): delta_con = delta_syn + alpha rho'/rho
+        # with rho'/rho = -4 aH for photons -> Theta0_N = dg/4 - aH alpha
+        theta0_N = y[_I_DG] / 4.0 - aux["adotoa"] * alpha
+        vb_N = (y[_I_TB] + k2 * alpha) / kk
+        Pi = aux["pol_term"]
+        s0 = vis * (theta0_N + psi + Pi / 4.0) + expmk * (phidot + psidot)
+        s1 = vis * vb_N
+        s2 = 0.75 * vis * Pi
+        slens = expmk * (phi + psi)
+        return s0, s1, s2, slens
+
+    def rk4_step(y, tau_a, tau_b, kk):
+        dt = tau_b - tau_a
+        k1, aux1 = vrhs(tau_a, y, kk)
+        k2_, _ = vrhs(tau_a + 0.5 * dt, y + 0.5 * dt * k1, kk)
+        k3_, _ = vrhs(tau_a + 0.5 * dt, y + 0.5 * dt * k2_, kk)
+        k4_, _ = vrhs(tau_b, y + dt * k3_, kk)
+        return y + (dt / 6.0) * (k1 + 2 * k2_ + 2 * k3_ + k4_)
+
+    def step(carry, xs):
+        y = carry
+        tau_a, tau_b = xs
+        y_new = rk4_step(y, tau_a, tau_b, k)
+        # hold un-released lanes on analytic ICs. The RD superhorizon ICs
+        # are valid only while k*tau << 1 AND deep in radiation domination,
+        # so every lane must release well before matter-radiation equality
+        # (tau_eq ~ 110 Mpc) — low-k lanes frozen on ICs at recombination
+        # would corrupt exactly the modes that source the lowest multipoles.
+        ics = jax.vmap(lambda kk: adiabatic_ics(bg, tf, kk, tau_b))(k)
+        released = jnp.logical_or(k * tau_b >= IC_RELEASE_KTAU,
+                                  tau_b >= 3.0)[:, None]
+        y_new = jnp.where(released, y_new, ics)
+        # emit sources at tau_b
+        dy, aux = vrhs(tau_b, y_new, k)
+        s0, s1, s2, slens = jax.vmap(
+            sources_at, in_axes=(None, 0, 0, 0, 0))(tau_b, y_new, dy, aux, k)
+        dm = (aux["grho_c"] * y_new[:, _I_DC] + aux["grho_b"] * y_new[:, _I_DB]) \
+            / (aux["grho_c"] + aux["grho_b"])
+        return y_new, (s0, s1, s2, slens, dm)
+
+    xs = (taus[:-1], taus[1:])
+    y_final, outs = jax.lax.scan(step, y0, xs)
+    s0, s1, s2, slens, dm_t = outs         # (nstep-1, nk)
+
+    # prepend the first node (sources ~ 0 deep in TC: vis ~ 0)
+    zero = jnp.zeros((1, nk), dtype)
+    s0 = jnp.concatenate([zero, s0]).T     # (nk, nstep)
+    s1 = jnp.concatenate([zero, s1]).T
+    s2 = jnp.concatenate([zero, s2]).T
+    slens = jnp.concatenate([zero, slens]).T
+    dm_t = jnp.concatenate([zero, dm_t]).T
+
+    # matter transfer snapshots at z_outputs (interp in tau along the grid)
+    lna_tab, tau_tab = _conformal_time_table(bg)
+    a_out = jnp.asarray([1.0 / (1.0 + z) for z in z_outputs], dtype)
+    tau_out = jnp.interp(jnp.log(a_out), lna_tab, tau_tab)
+    dm_z = jax.vmap(lambda row: jnp.interp(tau_out, taus, row))(dm_t)  # (nk, nz)
+
+    norm = r_init
+    return PerturbationOutput(
+        tau=taus, k=k,
+        s0=s0 / norm[:, None], s1=s1 / norm[:, None], s2=s2 / norm[:, None],
+        spol=s2 / norm[:, None], slens=slens / norm[:, None],
+        delta_m=dm_t[:, -1] / norm,
+        r_init=norm, tau0=tau0,
+        delta_m_z=(dm_z / norm[:, None]).T,
+        growth_tau=taus)

@@ -72,20 +72,25 @@ def compute_thermo_tables(bg: BackgroundParams, th: ThermoHistory,
     # in x = ln(1+z): dkappa/dx = dkappa/dz * (1+z)
     dkappa_dz = akthom * xe * (1.0 + zs) ** 2 / Hm
     dkappa_dx = dkappa_dz * (1.0 + zs)
-    sp_k = spline_fit(xa, dkappa_dx)
-    kappa = spline_cumint(sp_k)
+
+    def cumtrapz(f):
+        seg = 0.5 * (f[1:] + f[:-1]) * jnp.diff(xa)
+        return jnp.concatenate([jnp.zeros((1,), f.dtype), jnp.cumsum(seg)])
+
+    # cumulative trapezoid (parallel cumsum; the grid is dense enough that
+    # spline-exact integration is unnecessary, and sequential Thomas solves
+    # would wreck XLA compile time inside jit-hot paths)
+    kappa = cumtrapz(dkappa_dx)
 
     # drag depth: same integrand / R
     d = _densities(bg)
     R = 0.75 * bg.ombh2 * a / d["ogh2"]
-    sp_kd = spline_fit(xa, dkappa_dx / R)
-    kappa_drag = spline_cumint(sp_kd)
+    kappa_drag = cumtrapz(dkappa_dx / R)
 
     # exact sound horizon: r_s(z) = int_z^inf cs dz/H ; compute from grid top
     cs = 1.0 / jnp.sqrt(3.0 * (1.0 + R))
     drs_dx = cs * (1.0 + zs) / Hm      # d chi_s / d x
-    sp_rs = spline_fit(xa, drs_dx)
-    cum = spline_cumint(sp_rs)
+    cum = cumtrapz(drs_dx)
     rs_from_top = cum[-1] - cum        # integral from z to z_max
     # add the contribution above z_max (radiation domination, analytic-ish):
     # above 1e4 matter/nu known; integrate dtauda*cs in a with GL
@@ -100,10 +105,9 @@ def compute_thermo_tables(bg: BackgroundParams, th: ThermoHistory,
 
     # baryon sound speed^2: kB Tm/(mu_b c^2) (1 - 1/3 dlnTm/dlna)
     mu_b = 1.0 / (1.0 - (1.0 - 1.0 / const.mass_ratio_He_H) * yhe + xe * (1.0 - yhe))
-    # dlnTm/dlna via spline derivative in x (= -dlna)
-    sp_tm = spline_fit(xa, jnp.log(jnp.maximum(tm, 1e-10)))
-    from cosmomc_tpu.utils.interp import spline_eval_deriv
-    dlnTm_dx = spline_eval_deriv(sp_tm, xa)
+    # dlnTm/dx by central finite differences on the dense grid
+    lnTm = jnp.log(jnp.maximum(tm, 1e-10))
+    dlnTm_dx = jnp.gradient(lnTm, xa)
     # dlnTm/dlna = -dlnTm/dx; cs^2 = (kB T/mu)(1 - 1/3 dlnT/dlna) / c^2
     csq_b = (const.k_B * tm / (mu_b * const.m_H * const.c ** 2)
              * (1.0 + dlnTm_dx / 3.0))

@@ -37,7 +37,6 @@ class ChainState(NamedTuple):
     P: jnp.ndarray            # (nchains, n) current points
     mloglike: jnp.ndarray     # (nchains,) current -logL (incl priors)
     derived: jnp.ndarray      # (nchains, nd)
-    rots: Tuple[jnp.ndarray, ...]  # per-block rotations
     key: jax.Array            # single PRNG key (split per step)
     num_accept: jnp.ndarray   # (nchains,) int32
     mapping: jnp.ndarray      # (n, n) proposal mapping (traced: adaptation
@@ -105,20 +104,19 @@ class MetropolisSampler:
 
     def init_state(self, key: jax.Array, P0: jnp.ndarray) -> ChainState:
         nchains = P0.shape[0]
-        k_rot, k_run = jax.random.split(key)
         mll, der = self._vlogpost(P0)
-        return ChainState(P0, mll, der, tuple(self.proposal.init_rotations(k_rot, nchains)),
-                          k_run, jnp.zeros((nchains,), jnp.int32),
+        return ChainState(P0, mll, der, key,
+                          jnp.zeros((nchains,), jnp.int32),
                           self.proposal.mapping)
 
     # ---------- one step ----------
 
-    def step(self, state: ChainState, sched_t) -> Tuple[ChainState, Tuple]:
-        block, direction, refresh = sched_t
+    def step(self, state: ChainState, sched_t, seg_rots) -> Tuple[ChainState, Tuple]:
+        block, direction, rot_index = sched_t
         key, k_prop, k_acc = jax.random.split(state.key, 3)
-        trial, rots = self.proposal.propose(k_prop, state.P, list(state.rots),
-                                            block, direction, refresh,
-                                            mapping=state.mapping)
+        trial = self.proposal.propose(k_prop, state.P, seg_rots,
+                                      block, direction, rot_index,
+                                      mapping=state.mapping)
         mll_t, der_t = self._vlogpost(trial)
         # Metropolis accept in -logL units with temperature
         # (MCMC.f90:119-131: accept if better, else with prob exp(-(dLogL)/T))
@@ -128,7 +126,7 @@ class MetropolisSampler:
         P = jnp.where(acc[:, None], trial, state.P)
         mll = jnp.where(acc, mll_t, state.mloglike)
         der = jnp.where(acc[:, None], der_t, state.derived)
-        new = ChainState(P, mll, der, tuple(rots), key,
+        new = ChainState(P, mll, der, key,
                          state.num_accept + acc.astype(jnp.int32), state.mapping)
         return new, (acc, P, mll, der)
 
@@ -137,12 +135,20 @@ class MetropolisSampler:
     def run_segment(self, state: ChainState, schedule: ProposalSchedule
                     ) -> Tuple[ChainState, SegmentOutput]:
         sched = (jnp.asarray(schedule.block), jnp.asarray(schedule.direction),
-                 jnp.asarray(schedule.refresh))
+                 jnp.asarray(schedule.rot_index))
         if self._run_segment is None:
-            def seg(state, sched):
+            def seg(state, sched, num_rots):
+                nchains = state.P.shape[0]
+                key, k_rot = jax.random.split(state.key)
+                state = state._replace(key=key)
+                # all the segment's rotations in one batched QR (not inside
+                # the scan body — a cond-gated QR per step compiles terribly
+                # on TPU)
+                seg_rots = self.proposal.segment_rotations(k_rot, nchains,
+                                                           num_rots)
                 def body(st, xs):
-                    return self.step(st, xs)
+                    return self.step(st, xs, seg_rots)
                 final, outs = jax.lax.scan(body, state, sched)
                 return final, SegmentOutput(*outs)
-            self._run_segment = jax.jit(seg)
-        return self._run_segment(state, sched)
+            self._run_segment = jax.jit(seg, static_argnums=2)
+        return self._run_segment(state, sched, tuple(schedule.num_rots))

@@ -39,10 +39,16 @@ import jax.numpy as jnp
 
 
 class ProposalSchedule(NamedTuple):
-    """Per-step shared schedule for a segment of S steps (host precomputed)."""
+    """Per-step shared schedule for a segment of S steps (host precomputed).
+
+    `rot_index[t]` selects which pregenerated rotation the scheduled block
+    uses at step t: rotations for a whole segment are drawn with ONE batched
+    QR before the scan (a `lax.cond`-gated QR inside the scan body is
+    pathologically slow to compile on TPU and serializes the step)."""
     block: np.ndarray     # (S,) int32: which block this step proposes in
     direction: np.ndarray  # (S,) int32: direction index within the block
-    refresh: np.ndarray   # (S,) bool: draw a fresh rotation before this step
+    rot_index: np.ndarray  # (S,) int32: rotation cycle index within segment
+    num_rots: Tuple[int, ...]  # static: rotations needed per block
 
 
 @dataclass
@@ -99,7 +105,6 @@ class BlockedProposal:
         nb = len(self.block_sizes)
         blocks = np.empty(steps, np.int32)
         dirs = np.empty(steps, np.int32)
-        refresh = np.zeros(steps, bool)
 
         # cyclic randomizers: over all-dirs, slow-dirs, fast-dirs
         def cycler(n):
@@ -119,6 +124,10 @@ class BlockedProposal:
         for b, (s, size) in enumerate(zip(self.block_starts, self.block_sizes)):
             pos_to_block[s:s + size] = b
 
+        rot_ix = np.empty(steps, np.int32)
+        # rotations restart each segment (one batched QR per segment); the
+        # direction cycle within each rotation is preserved
+        dir_count = np.zeros(len(self.block_sizes), np.int64)
         fast_ix = 0
         for t in range(steps):
             if fast_ix > 0:
@@ -135,72 +144,78 @@ class BlockedProposal:
                 pos = next(slow_cyc) if slow_cyc else next(fast_cyc)
             b = int(pos_to_block[pos])
             size = self.block_sizes[b]
-            d = int(self._dir_count[b] % size)
-            refresh[t] = d == 0
-            self._dir_count[b] += 1
+            d = int(dir_count[b] % size)
+            rot_ix[t] = dir_count[b] // size
+            dir_count[b] += 1
             blocks[t] = b
             dirs[t] = d
-        return ProposalSchedule(blocks, dirs, refresh)
+        # deterministic upper bound so shapes are identical across segments
+        # of the same length (no recompiles): visits_b <= steps
+        num_rots = tuple(steps // sz + 1 for sz in self.block_sizes)
+        return ProposalSchedule(blocks, dirs, rot_ix, num_rots)
 
     # ---------- device-side proposal ----------
 
-    def init_rotations(self, key: jax.Array, nchains: int) -> List[jnp.ndarray]:
+    def segment_rotations(self, key: jax.Array, nchains: int,
+                          num_rots: Tuple[int, ...]) -> List[jnp.ndarray]:
+        """Pregenerate every rotation a segment needs: one batched QR per
+        block, shape (nchains, num_rots_b, size, size)."""
         keys = jax.random.split(key, len(self.block_sizes))
-        return [random_rotation(k, nchains, s) for k, s in
-                zip(keys, self.block_sizes)]
+        return [random_rotation(k, nchains * nr, sz).reshape(nchains, nr, sz, sz)
+                for k, nr, sz in zip(keys, num_rots, self.block_sizes)]
 
-    def propose(self, key: jax.Array, P: jnp.ndarray, rots: List[jnp.ndarray],
-                block: jnp.ndarray, direction: jnp.ndarray,
-                refresh: jnp.ndarray,
-                mapping: Optional[jnp.ndarray] = None
-                ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    def propose(self, key: jax.Array, P: jnp.ndarray,
+                seg_rots: List[jnp.ndarray], block: jnp.ndarray,
+                direction: jnp.ndarray, rot_index: jnp.ndarray,
+                mapping: jnp.ndarray) -> jnp.ndarray:
         """One proposal step for all chains.
 
-        P: (nchains, n) in *varying order*. block/direction/refresh are
-        traced scalars from the shared schedule. `mapping` MUST be passed as
-        a traced argument when called under jit — closing over
-        `self.mapping` would freeze the proposal covariance at trace time
-        and silently disable adaptation. Returns (trial P, rots).
+        P: (nchains, n) in *varying order*; block/direction/rot_index are
+        traced scalars from the shared schedule; seg_rots from
+        `segment_rotations`. `mapping` MUST be a traced argument (closing
+        over self.mapping would freeze the covariance at trace time and
+        silently disable adaptation). Returns the trial points.
         """
-        if mapping is None:
-            mapping = self.mapping
         nchains = P.shape[0]
-        k_rot, k_r = jax.random.split(key)
-        new_rots = []
         deltas = []
         for b, (s, size) in enumerate(zip(self.block_starts, self.block_sizes)):
-            is_b = jnp.logical_and(block == b, refresh)
-            rot = jax.lax.cond(
-                is_b,
-                lambda _r, k=jax.random.fold_in(k_rot, b), sz=size:
-                    random_rotation(k, nchains, sz),
-                lambda r: r,
-                rots[b])
-            new_rots.append(rot)
+            rb = seg_rots[b]
+            ri = jnp.minimum(rot_index, rb.shape[1] - 1)
             # direction column for each chain: (nchains, size)
-            col = rot[:, :, jnp.minimum(direction, size - 1)]
-            r = _propose_r(jax.random.fold_in(k_r, b), nchains, size, P.dtype)
+            col = rb[:, ri, :, jnp.minimum(direction, size - 1)]
+            r = _propose_r(jax.random.fold_in(key, b), nchains, size, P.dtype)
             vec = col * (r * self.propose_scale)[:, None]       # (nchains, size)
             Mb = mapping[:, s:s + size].astype(P.dtype)         # (n, size)
             delta_ord = vec @ Mb.T                              # (nchains, n)
             deltas.append(delta_ord)
         delta_ord = jnp.select([block == b for b in range(len(deltas))], deltas)
         inv = jnp.asarray(self.inv_order)
-        trial = P + delta_ord[:, inv]
-        return trial, new_rots
+        return P + delta_ord[:, inv]
 
 
 def random_rotation(key: jax.Array, nchains: int, n: int) -> jnp.ndarray:
-    """Batch of random orthogonal matrices (nchains, n, n) via QR of Gaussians
-    (reference RandUtils RandRotation)."""
+    """Batch of random orthogonal matrices (nchains, n, n), Haar-distributed
+    (reference RandUtils RandRotation).
+
+    Implemented as statically-unrolled modified Gram-Schmidt on Gaussian
+    matrices (two passes for f32 robustness) rather than jnp.linalg.qr: the
+    TPU QR custom-call allocates the whole batch in VMEM and dies on large
+    chain counts (and compiles far slower). MGS with the positive-norm
+    convention on Gaussians is exactly Haar.
+    """
     if n == 1:
         sign = jnp.where(jax.random.bernoulli(key, shape=(nchains, 1, 1)), 1.0, -1.0)
         return sign.astype(jnp.float32)
     g = jax.random.normal(key, (nchains, n, n), jnp.float32)
-    q, r = jnp.linalg.qr(g)
-    # fix signs so the distribution is Haar
-    d = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
-    return q * d[:, None, :]
+    cols = [g[:, :, j] for j in range(n)]
+    for _pass in range(2):
+        for j in range(n):
+            v = cols[j]
+            for i in range(j):
+                q = cols[i]
+                v = v - jnp.sum(q * v, axis=-1, keepdims=True) * q
+            cols[j] = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return jnp.stack(cols, axis=-1)
 
 
 def _propose_r(key: jax.Array, nchains: int, block_size: int, dtype) -> jnp.ndarray:

@@ -196,7 +196,6 @@ class SamplingRun:
             num_accept=np.asarray(st.num_accept),
             steps_done=self.steps_done, burned_in_at=self.burned_in_at,
             propose_cov=self.sampler.proposal.covariance,
-            **{f"rot_{i}": np.asarray(r) for i, r in enumerate(st.rots)},
         )
         os.replace(tmp, path)
 
@@ -205,11 +204,10 @@ class SamplingRun:
         if not self.chain_root or not os.path.isfile(path):
             return False
         z = np.load(path)
-        rots = tuple(jnp.asarray(z[f"rot_{i}"]) for i in range(self.nblocks))
         self.sampler.proposal.set_covariance(z["propose_cov"])
         self.state = ChainState(
             jnp.asarray(z["P"]), jnp.asarray(z["mloglike"]),
-            jnp.asarray(z["derived"]), rots, jnp.asarray(z["key"]),
+            jnp.asarray(z["derived"]), jnp.asarray(z["key"]),
             jnp.asarray(z["num_accept"]), self.sampler.proposal.mapping)
         self.steps_done = int(z["steps_done"])
         self.burned_in_at = int(z["burned_in_at"])
