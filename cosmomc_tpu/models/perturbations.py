@@ -62,6 +62,14 @@ NVAR = _I_FN2 + (LMAXNR - 1)
 
 N_STEP = 8192     # shared tau grid length (static)
 
+# Radiation streaming approximation (RSA): past k*tau > RSA_KTAU the photon
+# and massless-neutrino perturbations are slaved to the metric (the
+# reference's DoLateRadTruncation / no_phot_multpoles switches,
+# equations_ppf.f90:1428-1452) — this is what makes high-k matter-transfer
+# lanes non-stiff, so the shared grid only has to resolve oscillations of
+# frequency ~min(k, RSA_KTAU/tau).
+RSA_KTAU = 240.0
+
 
 class ThermoFuncs(NamedTuple):
     """Interpolation tables in tau for the evolution (all shape (N,))."""
@@ -89,6 +97,11 @@ class PerturbationOutput(NamedTuple):
     # extra snapshots of delta_m at requested redshifts: (nz, nk)
     delta_m_z: jnp.ndarray
     growth_tau: jnp.ndarray  # (nstep,) unused placeholder
+    # d delta_m / d tau snapshots (for f sigma8) and Weyl potential
+    # transfer (phi+psi)/2 snapshots, both (nz, nk); aH at z_outputs (nz,)
+    ddelta_m_z: jnp.ndarray | None = None
+    weyl_z: jnp.ndarray | None = None
+    aH_z: jnp.ndarray | None = None
 
 
 def _conformal_time_table(bg: BackgroundParams, n: int = 4096):
@@ -109,7 +122,9 @@ def _conformal_time_table(bg: BackgroundParams, n: int = 4096):
 
 
 def build_thermo_funcs(bg: BackgroundParams, yhe, tau_reion: float | jnp.ndarray,
-                       n_step: int = N_STEP) -> Tuple[ThermoFuncs, jnp.ndarray]:
+                       n_step: int = N_STEP, kmax: float = 0.5,
+                       rsa_ktau: float = RSA_KTAU
+                       ) -> Tuple[ThermoFuncs, jnp.ndarray]:
     """Thermal/background tables on the shared evolution grid.
 
     Returns (ThermoFuncs on the tau grid, tau0). The tau grid density
@@ -119,6 +134,8 @@ def build_thermo_funcs(bg: BackgroundParams, yhe, tau_reion: float | jnp.ndarray
     dtype = jnp.asarray(bg.ombh2).dtype
     lna_tab, tau_tab = _conformal_time_table(bg)
     tau0 = tau_tab[-1]
+    # high-k runs (matter transfers) need lanes still superhorizon at start
+    tau_start_val = min(0.03, IC_RELEASE_KTAU / kmax)
 
     # thermo: recfast + reionization on a z grid; then map to tau
     th = compute_thermo(bg, yhe)
@@ -144,7 +161,7 @@ def build_thermo_funcs(bg: BackgroundParams, yhe, tau_reion: float | jnp.ndarray
     # ---- build the tau grid (static length, dynamic values) ----
     # start deep in radiation era, early enough that the highest k is still
     # superhorizon (lanes are held on analytic ICs until k*tau ~ 0.08)
-    tau_start = jnp.asarray(0.03, dtype)
+    tau_start = jnp.asarray(tau_start_val, dtype)
     # target step: dtau = min(cap_late, c_op/opac, c_exp * tau)
     # computed iteratively on a provisional uniform ln-tau grid then
     # renormalized to exactly n_step points via cumulative rescaling.
@@ -162,14 +179,17 @@ def build_thermo_funcs(bg: BackgroundParams, yhe, tau_reion: float | jnp.ndarray
     # the RK4 imaginary-axis stability region for the free-streaming terms.
     d = _densities(bg)
     R_prov = (4.0 / 3.0) * d["ogh2"] / bg.ombh2 / a_prov
-    kmax_assumed = 0.5
     # active stiffness: opac*(1+R) wherever lanes may be off tight coupling
     # (the rhs keeps every lane TCA while opac*(1+R) > 150, so higher rates
     # never constrain the grid)
     lam = opac_prov * (1.0 + R_prov)
     lam_active = jnp.where(lam <= 150.0, lam, 0.0)
+    # oscillator rule: lanes with k*tau > rsa_ktau are RSA-slaved (see
+    # RSA_KTAU above), so the fastest live oscillation at time tau has
+    # frequency min(kmax, rsa_ktau/tau)
+    k_active = jnp.minimum(kmax, rsa_ktau / tprov)
     dt_target = jnp.minimum(
-        jnp.minimum(jnp.minimum(5.0, 2.2 / kmax_assumed),
+        jnp.minimum(jnp.minimum(5.0, 2.2 / k_active),
                     1.2 / jnp.maximum(lam_active, 1e-10)),
         0.1 * tprov)
     # density ~ 1/dt_target; cumulative "step count" N(tau)
@@ -223,7 +243,7 @@ def _grho_terms(bg: BackgroundParams, a):
     return grho_g, grho_n, grho_c, grho_b, grho_de, grho_k
 
 
-def make_rhs(bg: BackgroundParams, tf: ThermoFuncs):
+def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU):
     """Returns rhs(tau, y, k) -> (dy/dtau, aux dict) for vmapped use."""
     dtype = tf.tau.dtype
 
@@ -260,9 +280,30 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs):
         # would demand of an explicit integrator
         tauc = 1.0 / jnp.maximum(opac, 1e-30)
         R_bg = (4.0 / 3.0) * grho_g / grho_b
+        # radiation streaming approximation: slave photons+neutrinos to the
+        # metric once k*tau is large (reference equations_ppf.f90:1428-1452,
+        # RSA of arXiv:1104.2933). Lanes still opaque at k*tau>rsa_ktau
+        # (k >~ 1/Mpc, pre-recombination) are force-slaved — a documented
+        # few-percent approximation on delta_b at k >~ 1/Mpc, irrelevant for
+        # C_l (kmax=0.45) and small for P(k) (Silk-damped modes).
+        rsa = k * tau >= rsa_ktau
         tc_off = jnp.logical_and(k * tauc >= 0.015,
                                  opac * (1.0 + R_bg) <= 150.0)
-        tc_on = jnp.logical_not(tc_off)
+        tc_on = jnp.logical_and(jnp.logical_not(tc_off),
+                                jnp.logical_not(rsa))
+
+        # ---- RSA slaved values (from matter-only metric sources) ----
+        dgrho_m = grho_c * dc + grho_b * db
+        z_rsa = (0.5 * dgrho_m / k + k * eta) / adotoa
+        dz_rsa = -adotoa * z_rsa - 0.5 * dgrho_m / k
+        dn_rsa = -4.0 * dz_rsa / k
+        tn_rsa = -k * z_rsa
+        dg_rsa = dn_rsa - (4.0 / k) * opac * (tb / k + z_rsa)
+        tg_rsa = -k * z_rsa
+        dg = jnp.where(rsa, dg_rsa, dg)
+        tg = jnp.where(rsa, tg_rsa, tg)
+        dn = jnp.where(rsa, dn_rsa, dn)
+        tn = jnp.where(rsa, tn_rsa, tn)
 
         # ---- metric constraints (MB95 eq 21a,b) ----
         dgrho = grho_c * dc + grho_b * db + grho_g * dg + grho_n * dn
@@ -276,10 +317,12 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs):
         fg2_tca = (4.0 / 3.0) * tauc * ((8.0 / 15.0) * tg
                                         + (4.0 / 15.0) * hdot
                                         + (8.0 / 5.0) * etadot)
-        fg2_eff = jnp.where(tc_on, fg2_tca, fg[0])
+        fg2_eff = jnp.where(rsa, 0.0, jnp.where(tc_on, fg2_tca, fg[0]))
         sigma_g = fg2_eff / 2.0
-        sigma_n = fn[0] / 2.0
-        pol_term = jnp.where(tc_on, 2.5 * fg2_tca, fg[0] + gp[0] + gp[2])
+        sigma_n = jnp.where(rsa, 0.0, fn[0] / 2.0)
+        pol_term = jnp.where(rsa, 0.0,
+                             jnp.where(tc_on, 2.5 * fg2_tca,
+                                       fg[0] + gp[0] + gp[2]))
 
         # anisotropic stress sum: 8 pi G a^2 (rho+p) sigma
         dgpi = (4.0 / 3.0) * (grho_g * sigma_g + grho_n * sigma_n)
@@ -292,15 +335,19 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs):
         # TCA leading order: common acceleration of the coupled fluid
         tbdot_tca = (-adotoa * tb + csqb * k2 * db
                      + R * k2 * (dg / 4.0 - sigma_g)) / (1.0 + R)
-        tbdot = jnp.where(tc_on, tbdot_tca, tbdot_full)
-        tgdot = jnp.where(tc_on, tbdot_tca, tgdot_full)
+        # under RSA drop the opacity (photon drag) term in the baryon
+        # velocity (reference equations_ppf.f90:2212 comment)
+        tbdot_rsa = -adotoa * tb + csqb * k2 * db
+        tbdot = jnp.where(rsa, tbdot_rsa,
+                          jnp.where(tc_on, tbdot_tca, tbdot_full))
+        tgdot = jnp.where(rsa, 0.0, jnp.where(tc_on, tbdot_tca, tgdot_full))
 
         # ---- densities ----
-        dgdot = -(4.0 / 3.0) * tg - (2.0 / 3.0) * hdot
+        dgdot = jnp.where(rsa, 0.0, -(4.0 / 3.0) * tg - (2.0 / 3.0) * hdot)
         dbdot = -tb - 0.5 * hdot
         dcdot = -0.5 * hdot
-        dndot = -(4.0 / 3.0) * tn - (2.0 / 3.0) * hdot
-        tndot = k2 * (dn / 4.0 - sigma_n)
+        dndot = jnp.where(rsa, 0.0, -(4.0 / 3.0) * tn - (2.0 / 3.0) * hdot)
+        tndot = jnp.where(rsa, 0.0, k2 * (dn / 4.0 - sigma_n))
 
         # ---- photon temperature hierarchy F_2..F_LMAXG (MB95 eq 63) ----
         f1 = 4.0 * tg / (3.0 * k)
@@ -327,11 +374,13 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs):
         gpdot = gpdot.at[-1].set(
             k * gp[-2] - (LMAXGP + 1) / tau_safe * gp[-1] - opac * gp[-1])
 
-        # in deep TC, freeze the hierarchies at their (tiny) TCA values:
-        # the -opac F_l terms would be explicitly unstable there, and the
-        # slaved values are supplied through fg2_eff/pol_term above
-        fgdot = jnp.where(tc_on, jnp.zeros_like(fgdot), fgdot)
-        gpdot = jnp.where(tc_on, jnp.zeros_like(gpdot), gpdot)
+        # in deep TC (and under RSA), freeze the hierarchies: the -opac F_l
+        # terms would be explicitly unstable in TC, and under RSA the k F_l
+        # streaming terms exceed the grid resolution; slaved values are
+        # supplied through fg2_eff/pol_term above
+        frozen = jnp.logical_or(tc_on, rsa)
+        fgdot = jnp.where(frozen, jnp.zeros_like(fgdot), fgdot)
+        gpdot = jnp.where(frozen, jnp.zeros_like(gpdot), gpdot)
 
         # ---- massless neutrino hierarchy ----
         f1n = 4.0 * tn / (3.0 * k)
@@ -344,6 +393,7 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs):
         fndot = fndot.at[0].set(fn2dot)
         fndot = fndot.at[-1].set(
             k * fn[-2] - (LMAXNR + 1) / tau_safe * fn[-1])
+        fndot = jnp.where(rsa, jnp.zeros_like(fndot), fndot)
 
         dy = jnp.concatenate([
             jnp.stack([etadot, dcdot, dbdot, tbdot, dgdot, tgdot]),
@@ -351,8 +401,8 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs):
             jnp.stack([dndot, tndot]), fndot])
 
         # sigma' values for psi' (ISW): from the evolved/TCA derivative
-        sigg_dot = jnp.where(tc_on, jnp.zeros_like(fg2dot), fg2dot) / 2.0
-        sign_dot = fn2dot / 2.0
+        sigg_dot = jnp.where(frozen, jnp.zeros_like(fg2dot), fg2dot) / 2.0
+        sign_dot = jnp.where(rsa, jnp.zeros_like(fn2dot), fn2dot) / 2.0
         aux = dict(a=a, adotoa=adotoa, hdot=hdot, etadot=etadot, dgpi=dgpi,
                    opac=opac, grho=grho, gpres=gpres,
                    sigma_g=sigma_g, sigma_n=sigma_n,
@@ -412,8 +462,8 @@ IC_RELEASE_KTAU = 0.08
 
 def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
                          tau0: jnp.ndarray, k: jnp.ndarray,
-                         z_outputs: Tuple[float, ...] = (0.0,)
-                         ) -> PerturbationOutput:
+                         z_outputs: Tuple[float, ...] = (0.0,),
+                         rsa_ktau: float = RSA_KTAU) -> PerturbationOutput:
     """Evolve all k modes over the shared grid; emit sources per step.
 
     One `lax.scan` over the tau grid; the state carries all k lanes
@@ -425,7 +475,7 @@ def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
     dtype = tf.tau.dtype
     k = jnp.asarray(k, dtype)
     nk = k.shape[0]
-    rhs = make_rhs(bg, tf)
+    rhs = make_rhs(bg, tf, rsa_ktau)
     vrhs = jax.vmap(rhs, in_axes=(None, 0, 0))
 
     taus = tf.tau
@@ -462,7 +512,8 @@ def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
         s1 = vis * vb_N
         s2 = 0.75 * vis * Pi
         slens = expmk * (phi + psi)
-        return s0, s1, s2, slens
+        weyl = 0.5 * (phi + psi)
+        return s0, s1, s2, slens, weyl
 
     def rk4_step(y, tau_a, tau_b, kk):
         dt = tau_b - tau_a
@@ -487,15 +538,20 @@ def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
         y_new = jnp.where(released, y_new, ics)
         # emit sources at tau_b
         dy, aux = vrhs(tau_b, y_new, k)
-        s0, s1, s2, slens = jax.vmap(
+        s0, s1, s2, slens, weyl = jax.vmap(
             sources_at, in_axes=(None, 0, 0, 0, 0))(tau_b, y_new, dy, aux, k)
-        dm = (aux["grho_c"] * y_new[:, _I_DC] + aux["grho_b"] * y_new[:, _I_DB]) \
-            / (aux["grho_c"] + aux["grho_b"])
-        return y_new, (s0, s1, s2, slens, dm)
+        wsum = aux["grho_c"] + aux["grho_b"]
+        dm = (aux["grho_c"] * y_new[:, _I_DC]
+              + aux["grho_b"] * y_new[:, _I_DB]) / wsum
+        # grho_c and grho_b both scale exactly as 1/a, so the weights are
+        # time-independent and d(dm)/dtau is the weighted derivative
+        dmdot = (aux["grho_c"] * dy[:, _I_DC]
+                 + aux["grho_b"] * dy[:, _I_DB]) / wsum
+        return y_new, (s0, s1, s2, slens, dm, dmdot, weyl)
 
     xs = (taus[:-1], taus[1:])
     y_final, outs = jax.lax.scan(step, y0, xs)
-    s0, s1, s2, slens, dm_t = outs         # (nstep-1, nk)
+    s0, s1, s2, slens, dm_t, dmdot_t, weyl_t = outs   # (nstep-1, nk)
 
     # prepend the first node (sources ~ 0 deep in TC: vis ~ 0)
     zero = jnp.zeros((1, nk), dtype)
@@ -504,12 +560,21 @@ def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
     s2 = jnp.concatenate([zero, s2]).T
     slens = jnp.concatenate([zero, slens]).T
     dm_t = jnp.concatenate([zero, dm_t]).T
+    dmdot_t = jnp.concatenate([zero, dmdot_t]).T
+    weyl_t = jnp.concatenate([zero, weyl_t]).T
 
     # matter transfer snapshots at z_outputs (interp in tau along the grid)
     lna_tab, tau_tab = _conformal_time_table(bg)
     a_out = jnp.asarray([1.0 / (1.0 + z) for z in z_outputs], dtype)
     tau_out = jnp.interp(jnp.log(a_out), lna_tab, tau_tab)
-    dm_z = jax.vmap(lambda row: jnp.interp(tau_out, taus, row))(dm_t)  # (nk, nz)
+    def snap(rows):
+        return jax.vmap(lambda row: jnp.interp(tau_out, taus, row))(rows)
+    dm_z = snap(dm_t)          # (nk, nz)
+    dmdot_z = snap(dmdot_t)
+    weyl_z = snap(weyl_t)
+    # conformal aH at the output times (for growth rates)
+    grhos = _grho_terms(bg, a_out)
+    aH_out = jnp.sqrt((sum(grhos[:5]) + grhos[5]) / 3.0)
 
     norm = r_init
     return PerturbationOutput(
@@ -519,4 +584,7 @@ def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
         delta_m=dm_t[:, -1] / norm,
         r_init=norm, tau0=tau0,
         delta_m_z=(dm_z / norm[:, None]).T,
-        growth_tau=taus)
+        growth_tau=taus,
+        ddelta_m_z=(dmdot_z / norm[:, None]).T,
+        weyl_z=(weyl_z / norm[:, None]).T,
+        aH_z=aH_out)
