@@ -48,3 +48,18 @@ def omega_gamma_h2(tcmb: float = COBE_CMBTemp) -> float:
 # per massless-neutrino species (before nnu degeneracy factor)
 def omega_nu_massless_h2_per_species(tcmb: float = COBE_CMBTemp) -> float:
     return 7.0 / 8.0 * (4.0 / 11.0) ** (4.0 / 3.0) * omega_gamma_h2(tcmb)
+
+
+# H-nuclei number density today per unit ombh2/mu_H [1/m^3]:
+#   n_H0 = 3 H0_si^2 (ombh2/h^2) / (kappa mu_H m_H)
+#        = NNOW_PREFAC * ombh2 / mu_H      (H0_si^2/h^2 = (1e5/Mpc)^2)
+# Folding every tiny SI constant into one Python-float prefactor keeps the
+# traced float32 arithmetic away from the denormal range: XLA fusion is free
+# to reassociate a*b/c chains, and an intermediate ~1e-37 flushes to zero on
+# TPU/CPU (FTZ), silently zeroing the whole thermal history.
+NNOW_PREFAC = 3.0 * (1e5 / Mpc) ** 2 / (kappa * m_H)
+
+
+def n_H_today(ombh2, mu_H):
+    """n_H(z=0) [1/m^3] from traced ombh2 and mu_H = 1/(1-Y_He)."""
+    return NNOW_PREFAC * ombh2 / mu_H

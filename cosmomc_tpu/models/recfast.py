@@ -105,9 +105,8 @@ def compute_thermo(bg: BackgroundParams, yhe: float | jnp.ndarray = 0.245,
     tcmb = bg.tcmb
     h = bg.H0 / 100.0
     # number density of H nuclei today [1/m^3] (recfast Nnow)
-    H0_si = bg.H0 * 1e3 / const.Mpc
     mu_H = 1.0 / (1.0 - yhe)
-    Nnow = 3.0 * H0_si ** 2 * (bg.ombh2 / h ** 2) / (const.kappa * mu_H * const.m_H)
+    Nnow = const.n_H_today(bg.ombh2, mu_H)   # f32-safe (no denormal chain)
     fHe = yhe / (const.mass_ratio_He_H * (1.0 - yhe))
 
     # z grid: log-spaced in (1+z) from Z_INIT to 0 — dense through recomb
@@ -117,23 +116,28 @@ def compute_thermo(bg: BackgroundParams, yhe: float | jnp.ndarray = 0.245,
     def hubble_si(z):
         return hubble_mpc(bg, 1.0 / (1.0 + z)) * const.c / const.Mpc  # [1/s]
 
+    def quad_root(B, C):
+        """Positive root of x^2 + B x - C = 0, cancellation-free in both
+        signs of B (float32-safe: the naive 0.5*(sqrt(B^2+4C)-B) loses all
+        precision for B >> sqrt(C), saturating the Saha branches)."""
+        disc = jnp.sqrt(B * B + 4.0 * C)
+        return jnp.where(B > 0.0, 2.0 * C / (disc + B), 0.5 * (disc - B))
+
     def saha_he2(z):
         """He++ <-> He+ Saha solution for total x_e."""
         tr = tcmb * (1.0 + z)
         n = Nnow * (1.0 + z) ** 3
         rhs = jnp.exp(1.5 * jnp.log(_CR * tr) - _CB1_He2 / tr) / n
-        return 0.5 * (jnp.sqrt((rhs - 1.0 - fHe) ** 2
-                               + 4.0 * (1.0 + 2.0 * fHe) * rhs) - (rhs - 1.0 - fHe))
+        # x_e^2 + (rhs - 1 - fHe) x_e - (1 + 2 fHe) rhs = 0
+        return quad_root(rhs - 1.0 - fHe, (1.0 + 2.0 * fHe) * rhs)
 
     def saha_he1_xhe(z):
         """He+ <-> He0 Saha for x_He assuming x_H = 1 (recfast start phase).
-        Solves x_e(x_e-1)/(1+fHe-x_e)... via quadratic in x_e = 1 + fHe*xq."""
+        Solves x_e(x_e-1) = rhs (1+fHe-x_e) via quadratic in x_e."""
         tr = tcmb * (1.0 + z)
         n = Nnow * (1.0 + z) ** 3
         rhs = 4.0 * jnp.exp(1.5 * jnp.log(_CR * tr) - _CB1_He1 / tr) / n
-        # x_e solves: x_e (x_e - 1) = rhs (1 + fHe - x_e)
-        b = rhs - 1.0
-        x0 = 0.5 * (jnp.sqrt(b ** 2 + 4.0 * (1.0 + fHe) * rhs) - b)
+        x0 = quad_root(rhs - 1.0, (1.0 + fHe) * rhs)
         return jnp.clip((x0 - 1.0) / fHe, 0.0, 1.0)
 
     def saha_xh(z, tm):
@@ -141,7 +145,7 @@ def compute_thermo(bg: BackgroundParams, yhe: float | jnp.ndarray = 0.245,
         tr = tcmb * (1.0 + z)
         n = Nnow * (1.0 + z) ** 3
         rhs = jnp.exp(1.5 * jnp.log(_CR * tr) - _CB1 / tr) / n
-        return 0.5 * (jnp.sqrt(rhs ** 2 + 4.0 * rhs) - rhs)
+        return quad_root(rhs, rhs)
 
     def dxH_dz(z, xH, xe, tm):
         """Peebles ODE RHS for x_H (d/dz, z decreasing)."""
@@ -171,9 +175,13 @@ def compute_thermo(bg: BackgroundParams, yhe: float | jnp.ndarray = 0.245,
         # corrections shift x_e by <~0.1% around z~2000 — revisit if the Cl
         # parity gate demands it)
         K_He = _CK_He / Hz
-        he_boltz = jnp.exp(jnp.minimum(_Bfact / tm, 680.0))
-        Crate = (1.0 + K_He * Lambda_He * n_He1s * he_boltz) \
-            / (1.0 + K_He * (Lambda_He + rup) * n_He1s * he_boltz)
+        # Crate = (1 + A e^b L)/(1 + A e^b (L+rup)) with A = K_He n_He1s and
+        # b = Bfact/tm; divide through by A e^b so only the *decaying*
+        # exponential u = e^{-b}/A appears — float32-safe (e^b overflows for
+        # b > 88, turning the naive ratio into inf/inf = NaN at late times)
+        # (exponent clipped at 80: beyond that Crate = 1 to f32 precision)
+        u = jnp.exp(jnp.minimum(-_Bfact / tm - jnp.log(K_He * n_He1s), 80.0))
+        Crate = (u + Lambda_He) / (u + Lambda_He + rup)
         return (xe * xHe * n * rdown - rup * (1.0 - xHe)
                 * jnp.exp(-_CL_He / tm)) * Crate / (Hz * (1.0 + z))
 

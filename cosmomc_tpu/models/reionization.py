@@ -36,9 +36,8 @@ def reion_optical_depth(bg: BackgroundParams, zre, yhe, n: int = 256):
     """tau from reionization alone: int sigma_T n_e(reion) c dz/((1+z)H)."""
     dtype = jnp.asarray(zre).dtype
     h = bg.H0 / 100.0
-    H0_si = bg.H0 * 1e3 / const.Mpc
     mu_H = 1.0 / (1.0 - yhe)
-    Nnow = 3.0 * H0_si ** 2 * (bg.ombh2 / h ** 2) / (const.kappa * mu_H * const.m_H)
+    Nnow = const.n_H_today(bg.ombh2, mu_H)   # f32-safe (no denormal chain)
     akthom = const.sigma_thomson * Nnow * const.Mpc
     fHe = yhe / (const.mass_ratio_He_H * (1.0 - yhe))
     zmax = 50.0

@@ -60,9 +60,8 @@ def compute_thermo_tables(bg: BackgroundParams, th: ThermoHistory,
     tm = th.tm[::-1]
 
     h = bg.H0 / 100.0
-    H0_si = bg.H0 * 1e3 / const.Mpc
     mu_H = 1.0 / (1.0 - yhe)
-    Nnow = 3.0 * H0_si ** 2 * (bg.ombh2 / h ** 2) / (const.kappa * mu_H * const.m_H)
+    Nnow = const.n_H_today(bg.ombh2, mu_H)   # f32-safe (no denormal chain)
     akthom = const.sigma_thomson * Nnow * const.Mpc   # sigma_T n_H0 in 1/Mpc
 
     a = 1.0 / (1.0 + zs)

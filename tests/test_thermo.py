@@ -104,3 +104,29 @@ class TestDerived:
             tab = compute_thermo_tables(bg, th, YHE)
             rds.append(float(thermo_derived(bg, tab).r_drag))
         assert rds[1] < rds[0]
+
+
+class TestFloat32Stability:
+    """The TPU path runs float32; the recombination integrator must stay
+    finite (the He Crate Boltzmann ratio overflows if formed naively —
+    regression for the exp(+Bfact/tm) inf/inf NaN)."""
+
+    def test_thermo_finite_f32(self):
+        bg = BackgroundParams.make(dtype=jnp.float32, **PLANCK18)
+        th = jax.jit(lambda b: compute_thermo(b, jnp.float32(YHE)))(bg)
+        assert th.xe.dtype == jnp.float32
+        assert bool(jnp.isfinite(th.xe).all())
+        assert bool(jnp.isfinite(th.tm).all())
+        # and the history is still the right shape physically
+        xe = np.asarray(th.xe)
+        assert xe[0] > 1.1          # He++ early
+        assert xe[-1] < 3e-4 + 0.1  # frozen out (pre-reionization)
+
+    def test_thermo_f32_matches_f64(self):
+        bg64 = BackgroundParams.make(**PLANCK18)
+        bg32 = BackgroundParams.make(dtype=jnp.float32, **PLANCK18)
+        xe64 = np.asarray(compute_thermo(bg64, YHE).xe, np.float64)
+        xe32 = np.asarray(compute_thermo(bg32, jnp.float32(YHE)).xe, np.float64)
+        # agreement where xe is non-negligible (relative, floored)
+        d = np.abs(xe32 - xe64) / np.maximum(xe64, 1e-3)
+        assert d.max() < 5e-3, d.max()
