@@ -3,8 +3,8 @@
 A from-scratch JAX/XLA re-design of the capabilities of CosmoMC
 (SouthPoleTelescope fork; see SURVEY.md): a differentiable Boltzmann theory
 stack, a registry of jit-able likelihoods, and massively-vectorized MCMC
-(blocked Metropolis, fast-dragging, HMC/NUTS) with thousands of chains vmapped
-per chip and sharded across TPU pod slices.
+(blocked fast/slow Metropolis) with thousands of chains vmapped per chip and
+sharded across TPU pod slices.
 
 Design stance (vs the Fortran reference):
   - no global mutable state: theory evaluation is a pure function

@@ -220,6 +220,11 @@ class CMBLikes(Likelihood):
         self.pcl_lmin = ini.int("cl_lmin", required=True)
         self.pcl_lmax = ini.int("cl_lmax", required=True)
         self.binned = ini.bool("binned", required=True)
+        if not self.binned and self.nmaps != self.nmaps_required:
+            # the unbinned path indexes required-pair rows with used-map
+            # indices; the reference hard-errors here too (CMBlikes.f90:1188)
+            raise ValueError(f"{self.name}: unbinned datasets must have "
+                             "required maps == used maps")
         self.nL = self.pcl_lmax - self.pcl_lmin + 1
 
         if self.binned:
@@ -578,7 +583,7 @@ class CMBLikes(Likelihood):
         g = jnp.sign(d - 1.0) * jnp.sqrt(
             2.0 * jnp.maximum(d - jnp.log(jnp.maximum(d, 1e-30)) - 1.0, 0.0))
         UF = jnp.einsum("bij,bjk->bik", CfHalf, U)
-        return jnp.einsum("bij,bj,bkj->bik", UF, g, UF)
+        return jnp.einsum("bij,bj,bkj->bik", UF, g, UF), jnp.min(w)
 
     def log_like_cls(self, cls_stack: jnp.ndarray, nuisance: jnp.ndarray
                      ) -> jnp.ndarray:
@@ -606,16 +611,22 @@ class CMBLikes(Likelihood):
             per_l = (jnp.sum(ev, -1) - self.nmaps
                      - jnp.sum(jnp.log(jnp.maximum(ev, 1e-30)), -1))
             chisq = jnp.sum((2 * ls + 1) * self.fullsky_exact_fksy * per_l)
-            return 0.5 * chisq
-
-        if self.like_approx == LIKE_HL:
-            X = self._hl_transform(C)
+            # reject non-positive-definite theory+noise (the reference's
+            # matrix root produces NaN here and the sampler rejects)
+            chisq = jnp.where(jnp.min(w) <= 0.0, jnp.inf, chisq)
         else:
-            X = C - jnp.asarray(self.chat_m, dtype)
-        vecp = X[:, self._tri_i, self._tri_j]           # (nbins, ncl)
-        bigX = vecp[:, self.cl_use_index].reshape(-1)
-        icov = jnp.asarray(self.inv_covariance, dtype)
-        chisq = bigX @ icov @ bigX
+            if self.like_approx == LIKE_HL:
+                X, wmin = self._hl_transform(C)
+            else:
+                X, wmin = C - jnp.asarray(self.chat_m, dtype), None
+            vecp = X[:, self._tri_i, self._tri_j]           # (nbins, ncl)
+            bigX = vecp[:, self.cl_use_index].reshape(-1)
+            icov = jnp.asarray(self.inv_covariance, dtype)
+            chisq = bigX @ icov @ bigX
+            if wmin is not None:
+                chisq = jnp.where(wmin <= 0.0, jnp.inf, chisq)
+        # log-calibration prior applies regardless of like_approx
+        # (CMBlikes.f90:1223-1224)
         if self.log_calibration_prior > 0 and self.calibration_index >= 0:
             chisq = chisq + (jnp.log(nuisance[self.calibration_index])
                              / self.log_calibration_prior) ** 2

@@ -65,7 +65,7 @@ class RunResult:
 class SamplingRun:
     def __init__(self, sampler: MetropolisSampler, cfg: RunConfig,
                  start_P: np.ndarray, chain_root: Optional[str] = None,
-                 feedback: int = 1):
+                 feedback: int = 1, paramnames=None, space=None):
         self.sampler = sampler
         self.cfg = cfg
         self.feedback = feedback
@@ -74,6 +74,13 @@ class SamplingRun:
         self.state = sampler.init_state(key, jnp.asarray(start_P, jnp.float32))
         self.writer = ChainWriter(chain_root, cfg.nchains) if chain_root else None
         self.chain_root = chain_root
+        # GetDist sidecars (reference driver.F90:209-216 writes .paramnames/
+        # .ranges on rank 0 before sampling; getdist.loadMCSamples needs them)
+        if chain_root is not None:
+            if paramnames is not None:
+                paramnames.write(chain_root + ".paramnames")
+            if space is not None:
+                space.write_ranges(chain_root + ".ranges")
         self.nblocks = len(sampler.proposal.block_sizes)
         self._stats: List[np.ndarray] = []   # post-burn thinned samples (S', C, n)
         self.steps_done = 0
@@ -103,6 +110,7 @@ class SamplingRun:
                 if self.writer is not None:
                     self.writer.add_segment(acc, P, mll, der)
                 r = self._update_convergence_and_proposal()
+                self._write_converge_stat(done=False)
                 if self.feedback > 0 and seg_i % 4 == 0:
                     ar = float(np.asarray(self.state.num_accept).mean()) / self.steps_done
                     print(f"[{self.steps_done:>8d} steps] R-1 = {r:.4f}  "
@@ -116,6 +124,7 @@ class SamplingRun:
         if self.writer is not None:
             self.writer.close()
             self.checkpoint()
+        self._write_converge_stat(done=stopped_on == "converged")
         means, cov = self._pooled_moments()
         ar = float(np.asarray(self.state.num_accept).mean()) / max(self.steps_done, 1)
         return RunResult(self.steps_done, self.r_current, self.burned_in_at, ar,
@@ -180,6 +189,16 @@ class SamplingRun:
         if x.shape[0] * x.shape[1] > 2_000_000:
             self._stats = [x[::2]]
         return r
+
+    def _write_converge_stat(self, done: bool) -> None:
+        """`<root>.converge_stat`: current R-1 (+ "Done" when converged) —
+        the file the reference's grid layer polls (SampleCollector.f90:461-475)."""
+        if self.chain_root is None:
+            return
+        with open(self.chain_root + ".converge_stat", "w") as f:
+            f.write(f"{self.r_current:17.5f}\n")
+            if done:
+                f.write("Done\n")
 
     # ---------- checkpoint / resume ----------
 
