@@ -120,7 +120,10 @@ def compute_cls(po: PerturbationOutput, pp: PrimordialParams,
         # (S2 carries (3/4) g Pi -> extra 1/4; normalization validated
         # against the reference CAMB EE spectra)
         dE = 0.25 * efac * jnp.sum(S2w * jl / (xs * xs), axis=1)
-        dP = 2.0 * jnp.sum(SLw * jl, axis=1)
+        # lensing potential: phi_l(k) = -2 int dtau W(chi) Psi_W j_l with
+        # Psi_W = (phi+psi)/2; SL carries e^-kappa (phi+psi) = 2 Psi_W, so
+        # the factor-2 is already inside SL (sign drops in the auto-power)
+        dP = jnp.sum(SLw * jl, axis=1)
         tt = 4.0 * jnp.pi * jnp.sum(wP * dT * dT)
         te = 4.0 * jnp.pi * jnp.sum(wP * dT * dE)
         ee = 4.0 * jnp.pi * jnp.sum(wP * dE * dE)
@@ -129,13 +132,20 @@ def compute_cls(po: PerturbationOutput, pp: PrimordialParams,
 
     tts, tes, ees, pps = jax.lax.map(one_l, jnp.arange(len(ls)))
 
-    # spline to all integer l in the l(l+1)C_l/2pi representation
+    # cubic-spline fill to all integer l in the l(l+1)C_l/2pi representation
+    # (camb/modules.f90 lvalues semantics: the sampled-l spectra are smooth
+    # in this representation; linear fill loses ~1-2% across acoustic peaks)
+    from cosmomc_tpu.utils.interp import spline_fit, spline_eval
     ls_f = jnp.asarray(ls, dtype)
     fac = ls_f * (ls_f + 1) / (2 * jnp.pi)
     fac_pp = (ls_f * (ls_f + 1)) ** 2 / (2 * jnp.pi)
     all_l = jnp.arange(2, lmax + 1, dtype=dtype)
-    tt = jnp.interp(all_l, ls_f, fac * tts)
-    te = jnp.interp(all_l, ls_f, fac * tes)
-    ee = jnp.interp(all_l, ls_f, fac * ees)
-    ppp = jnp.interp(all_l, ls_f, fac_pp * pps)
+
+    def fill(vals):
+        return spline_eval(spline_fit(ls_f, vals), all_l)
+
+    tt = fill(fac * tts)
+    te = fill(fac * tes)
+    ee = fill(fac * ees)
+    ppp = fill(fac_pp * pps)
     return CMBSpectra(all_l.astype(jnp.int32), tt, te, ee, ppp)

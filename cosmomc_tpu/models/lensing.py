@@ -58,7 +58,9 @@ def lens_cls(ls, tt, te, ee, pp, lmax_lensed: int | None = None,
     lensed_convolution_margin behavior)."""
     ls = jnp.asarray(ls)
     dtype = jnp.asarray(tt).dtype
-    lmax = int(ls[-1])
+    # ls is the dense range 2..lmax, so lmax is shape-derived (static under
+    # jit; int(ls[-1]) would break tracing)
+    lmax = int(ls.shape[0]) + 1
     if lmax_lensed is None:
         lmax_lensed = lmax - 250
     if n_theta is None:

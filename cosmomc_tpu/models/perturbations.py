@@ -42,9 +42,12 @@ from cosmomc_tpu.models.recfast import compute_thermo
 from cosmomc_tpu.models.reionization import xe_reion, zre_from_tau
 
 # hierarchy truncations (CAMB defaults are comparable: lmaxg~12, lmaxnr~...)
-LMAXG = 12      # photon temperature multipoles 0..LMAXG
-LMAXGP = 8      # photon polarization 0..LMAXGP
-LMAXNR = 10     # massless neutrinos 0..LMAXNR
+# env overrides exist for convergence studies (scripts/check_cls.py) only —
+# the state layout below is fixed at import time.
+import os as _os
+LMAXG = int(_os.environ.get("COSMOMC_LMAXG", 12))    # photon temperature 0..LMAXG
+LMAXGP = int(_os.environ.get("COSMOMC_LMAXGP", 8))   # photon polarization 0..LMAXGP
+LMAXNR = int(_os.environ.get("COSMOMC_LMAXNR", 10))  # massless neutrinos 0..LMAXNR
 
 # state layout offsets
 _I_ETA = 0
@@ -69,6 +72,12 @@ N_STEP = 8192     # shared tau grid length (static)
 # lanes non-stiff, so the shared grid only has to resolve oscillations of
 # frequency ~min(k, RSA_KTAU/tau).
 RSA_KTAU = 240.0
+
+# tight-coupling release thresholds (see make_rhs and build_thermo_funcs):
+# lanes leave TCA when k*tauc >= TC_KTAUC AND opac*(1+R) <= TC_LAM_MAX;
+# the shared grid resolves opacities only up to TC_LAM_MAX (1.2/lam rule)
+TC_KTAUC = 0.015
+TC_LAM_MAX = 150.0
 
 
 class ThermoFuncs(NamedTuple):
@@ -182,13 +191,18 @@ def build_thermo_funcs(bg: BackgroundParams, yhe, tau_reion: float | jnp.ndarray
     # (the rhs keeps every lane TCA while opac*(1+R) > 150, so higher rates
     # never constrain the grid)
     lam = opac_prov * (1.0 + R_prov)
-    lam_active = jnp.where(lam <= 150.0, lam, 0.0)
+    lam_active = jnp.where(lam <= TC_LAM_MAX, lam, 0.0)
     # oscillator rule: lanes with k*tau > rsa_ktau are RSA-slaved (see
     # RSA_KTAU above), so the fastest live oscillation at time tau has
-    # frequency min(kmax, rsa_ktau/tau)
+    # frequency min(kmax, rsa_ktau/tau). The step constant sets the RK4
+    # phase error: for y'=i w y the per-step phase lag is (w h)^4/120
+    # relative, and the acoustic frequency is w ~ k c_s ~ k/sqrt(3);
+    # k h = 2.2 gave a ~2% acoustic-scale bias (peaks shifted high in l),
+    # k h = 0.9 puts the phase error at ~6e-4 — the oscillator term is a
+    # small share of the step budget, so this redistributes few steps.
     k_active = jnp.minimum(kmax, rsa_ktau / tprov)
     dt_target = jnp.minimum(
-        jnp.minimum(jnp.minimum(5.0, 2.2 / k_active),
+        jnp.minimum(jnp.minimum(5.0, 0.9 / k_active),
                     1.2 / jnp.maximum(lam_active, 1e-10)),
         0.1 * tprov)
     # density ~ 1/dt_target; cumulative "step count" N(tau)
@@ -286,8 +300,8 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU):
         # few-percent approximation on delta_b at k >~ 1/Mpc, irrelevant for
         # C_l (kmax=0.45) and small for P(k) (Silk-damped modes).
         rsa = k * tau >= rsa_ktau
-        tc_off = jnp.logical_and(k * tauc >= 0.015,
-                                 opac * (1.0 + R_bg) <= 150.0)
+        tc_off = jnp.logical_and(k * tauc >= TC_KTAUC,
+                                 opac * (1.0 + R_bg) <= TC_LAM_MAX)
         tc_on = jnp.logical_and(jnp.logical_not(tc_off),
                                 jnp.logical_not(rsa))
 

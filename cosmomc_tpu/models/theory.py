@@ -25,8 +25,39 @@ class BackgroundTheory(NamedTuple):
     rs_drag: jnp.ndarray
 
     def fsigma8_at(self, z):
-        raise NotImplementedError(
-            "f sigma8 requires the perturbation stage (growth_z spline)")
+        raise ValueError(
+            "this run's theory stage computes no matter power: f_sigma8 "
+            "measurement rows need CMBTheoryProducts (use a posterior with "
+            "matter_power enabled, or drop the f_sigma8 dataset rows)")
+
+
+class CMBTheoryProducts(NamedTuple):
+    """Full theory-prediction pytree for CMB+LSS likelihoods — the analog
+    of TCosmoTheoryPredictions (CosmoTheory.f90:23-51) as an immutable
+    pytree: C_l stack, background functions, drag sound horizon, and
+    (optional) matter-power summaries on a redshift table."""
+    bg: BackgroundParams
+    bf: BackgroundFunctions
+    rs_drag: jnp.ndarray
+    #: (4,4,lmax+1) TEBP stack, l(l+1)C_l/2pi muK^2; PP as [l(l+1)]^2 C/2pi
+    cls: Optional[jnp.ndarray] = None
+    #: matter-power summary tables over z_pk (ascending), or None
+    z_pk: Optional[jnp.ndarray] = None
+    sigma8_z: Optional[jnp.ndarray] = None
+    fsigma8_z: Optional[jnp.ndarray] = None
+
+    def fsigma8_at(self, z):
+        """f sigma8(z) from the table (bao.f90:264-306 f_sigma8 rows)."""
+        if self.fsigma8_z is None:
+            raise ValueError(
+                "f_sigma8 requested but matter power was not computed; "
+                "enable matter_power on the posterior")
+        return jnp.interp(jnp.asarray(z), self.z_pk, self.fsigma8_z)
+
+    def sigma8_at(self, z):
+        if self.sigma8_z is None:
+            raise ValueError("sigma8 requested but matter power not computed")
+        return jnp.interp(jnp.asarray(z), self.z_pk, self.sigma8_z)
 
 
 def compute_background_theory(bg: BackgroundParams,

@@ -9,8 +9,8 @@ function handed to the sampler.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Callable, Dict, List, Optional
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -18,8 +18,9 @@ import jax.numpy as jnp
 from cosmomc_tpu.likelihoods.base import Likelihood, LikelihoodList
 from cosmomc_tpu.models.theory import (compute_background_theory,
                                        background_derived,
-                                       BACKGROUND_DERIVED_NAMES)
-from cosmomc_tpu.params.space import ParameterSpace
+                                       BACKGROUND_DERIVED_NAMES,
+                                       CMBTheoryProducts)
+from cosmomc_tpu.params.space import Param, ParameterSpace, Speed
 from cosmomc_tpu.sampling.metropolis import make_bounded_posterior
 from cosmomc_tpu.sampling.proposal import BlockedProposal
 from cosmomc_tpu.utils.paramnames import ParamNames, ParamInfo
@@ -80,6 +81,180 @@ class BackgroundPosterior:
     def start_positions(self, rng: np.random.Generator, nchains: int) -> np.ndarray:
         """Gaussian around center with start_width, truncated to bounds
         (BaseParameters.f90:85-105)."""
+        var = self.space.varying
+        out = np.empty((nchains, len(var)))
+        for i, p in enumerate(var):
+            vals = rng.normal(p.center, max(p.start_width, 1e-12), nchains)
+            out[:, i] = np.clip(vals, p.min, p.max)
+        return out
+
+
+PRIMORDIAL_PARAMS = [
+    Param("logA", 3.044, 1.61, 3.91, 0.001, 0.001,
+          r"{\rm{ln}}(10^{10} A_s)", Speed.SEMISLOW),
+    Param("ns", 0.965, 0.8, 1.2, 0.004, 0.002, "n_s", Speed.SEMISLOW),
+]
+
+CMB_DERIVED_NAMES = [
+    ("H0", "H_0"), ("omegam", r"\Omega_m"), ("omegal", r"\Omega_\Lambda"),
+    ("rdrag", r"r_{\rm drag}"), ("zstar", "z_*"), ("rstar", "r_*"),
+    ("zrei", "z_{re}"), ("yheused", "Y_P"),
+]
+
+
+@dataclass
+class CMBPosterior:
+    """Full CMB posterior: theta-parameterized LCDM -> Boltzmann C_l ->
+    CMB + background likelihoods. The composition the reference wires for
+    `parameterization = theta` + plik_lite/BAO runs (driver.F90 action=0;
+    Calculator_CAMB two-stage compute; CalcLike_Cosmology.f90).
+
+    Sampled blocks (BaseParameters.f90 SetFastSlowParams semantics):
+      SLOW      ombh2, omch2, theta, tau (+ any varying of omk/mnu/w/wa/nnu)
+      SEMISLOW  logA, ns           (primordial rescale reuses transfers)
+      FAST      likelihood nuisance (A_planck, calibrations, ...)
+
+    YHe follows BBN consistency (bbn_consistency=T default,
+    CosmologyParameterizations.f90 SetForH): yhe = BBN(ombh2, nnu-3.046).
+    """
+    parameterization: object                 # ThetaParameterization
+    space: ParameterSpace
+    likes: LikelihoodList
+    lmax: int = 2508
+    kmax: float = 0.5
+    lens_margin: int = 150                   # compute to lmax+margin, lens to lmax
+    matter_power: bool = False
+    z_pk: Tuple[float, ...] = (0.0, 0.2, 0.38, 0.51, 0.61, 1.0, 2.0)
+    n_step_boltzmann: int = 0                # 0 = module default
+    dtype: object = jnp.float64
+    bbn_table: object = None
+
+    def __post_init__(self):
+        # primordial block after the slow cosmological block
+        for p in PRIMORDIAL_PARAMS:
+            if p.name not in self.space:
+                self.space.add(Param(**p.__dict__))
+        self.slices = self.likes.add_nuisance_to_space(self.space)
+        self.varying_idx = self.space.varying_indices
+        self._full_template = np.array([p.center for p in self.space.params])
+        self._i_logA = self.space.index("logA")
+        self._i_ns = self.space.index("ns")
+        self.derived_names = list(CMB_DERIVED_NAMES)
+        if self.matter_power:
+            self.derived_names.append(("sigma8", r"\sigma_8"))
+        self.num_derived = len(self.derived_names)
+        if self.bbn_table is None:
+            from cosmomc_tpu.models.bbn import load_bbn_table
+            self.bbn_table = load_bbn_table()
+        # required lmax across CMB likelihoods
+        for like in self.likes.likes:
+            need = getattr(like, "required_lmax", lambda: 0)()
+            if need > self.lmax:
+                raise ValueError(f"{like.name} needs lmax {need} > {self.lmax}")
+
+    def embed_full(self, varying: jnp.ndarray) -> jnp.ndarray:
+        full = jnp.asarray(self._full_template, varying.dtype)
+        return full.at[jnp.asarray(self.varying_idx)].set(varying)
+
+    def compute_theory(self, full_P: jnp.ndarray) -> CMBTheoryProducts:
+        """One full theory forward pass (pure, traced)."""
+        from cosmomc_tpu.models import background as bgm
+        from cosmomc_tpu.models.bbn import yhe_bbn
+        from cosmomc_tpu.models.cmb import (compute_transfers,
+                                            cls_from_transfers,
+                                            source_k_grid)
+        from cosmomc_tpu.models.lensing import lens_cls
+        from cosmomc_tpu.models.primordial import PrimordialParams
+        from cosmomc_tpu.models.recfast import compute_thermo
+        from cosmomc_tpu.models.reionization import zre_from_tau
+        from cosmomc_tpu.models.thermo import (compute_thermo_tables,
+                                               thermo_derived)
+
+        bg = self.parameterization.to_background(full_P)
+        tau_re = full_P[3]
+        yhe = yhe_bbn(bg.ombh2, bg.nnu - 3.046, self.bbn_table)
+        pp = PrimordialParams.make(logA=full_P[self._i_logA],
+                                   ns=full_P[self._i_ns],
+                                   dtype=self.dtype)
+
+        # slow stage: Boltzmann transfers to lmax+margin
+        lmax_c = self.lmax + self.lens_margin
+        k = source_k_grid(kmax=self.kmax)
+        po, chi_star = compute_transfers(bg, tau_re, yhe, k)
+        # semi-slow: primordial power -> spectra; lens to self.lmax
+        spec = cls_from_transfers(po, chi_star, pp, lmax=lmax_c,
+                                  kmax_hint=self.kmax)
+        lensed = lens_cls(spec.ls, spec.tt, spec.te, spec.ee, spec.pp,
+                          lmax_lensed=self.lmax)
+        # (4,4,lmax+1) TEBP stack in l(l+1)C_l/2pi muK^2
+        nl = self.lmax + 1
+        cls = jnp.zeros((4, 4, nl), self.dtype)
+        sl = slice(2, self.lmax + 1)
+        cls = cls.at[0, 0, sl].set(lensed.tt)
+        cls = cls.at[1, 0, sl].set(lensed.te)
+        cls = cls.at[0, 1, sl].set(lensed.te)
+        cls = cls.at[1, 1, sl].set(lensed.ee)
+        cls = cls.at[2, 2, sl].set(lensed.bb)
+        cls = cls.at[3, 3, sl].set(spec.pp[:self.lmax - 1])
+
+        # exact thermal-history derived: rs at z_drag (bao), z*, r*
+        th = compute_thermo(bg, yhe)
+        tabs = compute_thermo_tables(bg, th, yhe)
+        der = thermo_derived(bg, tabs)
+        bf = bgm.background_functions(bg)
+
+        if self.matter_power:
+            from cosmomc_tpu.models.matterpower import compute_matter_power
+            mp = compute_matter_power(bg, pp, tau_re, yhe,
+                                      z_outputs=self.z_pk)
+            z_pk, s8, fs8 = mp.z, mp.sigma8_z, mp.fsigma8_z
+        else:
+            z_pk = s8 = fs8 = None
+
+        theory = CMBTheoryProducts(bg=bg, bf=bf, rs_drag=der.r_drag, cls=cls,
+                                   z_pk=z_pk, sigma8_z=s8, fsigma8_z=fs8)
+        extras = dict(z_star=der.z_star, r_star=der.r_star, yhe=yhe,
+                      zre=zre_from_tau(bg, tau_re, yhe))
+        return theory, extras
+
+    def raw_logpost(self) -> Callable:
+        def fn(P):
+            full = self.embed_full(P)
+            theory, ex = self.compute_theory(full)
+            total, _per = self.likes.total_log_like(theory, P, self.slices)
+            bg = theory.bg
+            h2 = (bg.H0 / 100.0) ** 2
+            omm = (bg.ombh2 + bg.omch2 + bg.omnuh2) / h2
+            der = [bg.H0 * jnp.ones(()), omm, 1.0 - bg.omk - omm,
+                   theory.rs_drag, ex["z_star"], ex["r_star"], ex["zre"],
+                   ex["yhe"]]
+            if self.matter_power:
+                der.append(theory.sigma8_z[0])
+            return total, jnp.stack([jnp.asarray(d, P.dtype) for d in der])
+        return fn
+
+    def logpost(self) -> Callable:
+        arr = self.space.device_arrays(self.dtype)
+        return make_bounded_posterior(
+            self.raw_logpost(), arr["lo"], arr["hi"],
+            prior_arrays=arr, num_derived=self.num_derived)
+
+    def paramnames(self) -> ParamNames:
+        pn = self.space.param_names()
+        for name, label in self.derived_names:
+            pn.add(ParamInfo(name, label, derived=True))
+        return pn
+
+    def make_proposal(self, oversample_fast: int = 1,
+                      propose_scale: float = 2.4) -> BlockedProposal:
+        blocks = self.space.speed_blocks()
+        n_slow_blocks = max(1, sum(1 for b in blocks if b and
+                                   self.space.varying[b[0]].speed <= 1))
+        return BlockedProposal(blocks, slow_block_max=n_slow_blocks,
+                               oversample_fast=oversample_fast,
+                               propose_scale=propose_scale)
+
+    def start_positions(self, rng: np.random.Generator, nchains: int) -> np.ndarray:
         var = self.space.varying
         out = np.empty((nchains, len(var)))
         for i, p in enumerate(var):

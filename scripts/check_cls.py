@@ -5,11 +5,16 @@ relative-error table. Run on CPU (f64).
 """
 import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
-os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
 import jax
+# sitecustomize imports jax before this script runs, so env vars are too
+# late; config.update is the only reliable way off the TPU tunnel
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/cosmomc_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 import jax.numpy as jnp
 
 from cosmomc_tpu.models.background import BackgroundParams
