@@ -1,0 +1,229 @@
+"""Ini-driven composition root + action dispatch: the `cosmomc params.ini`
+equivalent (reference: source/driver.F90 program CosmoMC + GeneralSetup.f90
+TSetup).
+
+Usage:  python -m cosmomc_tpu params.ini
+Actions (driver.F90:269-284 / GeneralSetup.f90:13):
+  action = 0  MCMC sampling run (chains + sidecars + converge_stat)
+  action = 1  importance re-weighting of existing chains (redo_*)
+  action = 2  best-fit minimization -> .minimum (+ .covmat via Hessian)
+  action = 4  likelihood test at fixed point, compare test_check_compare
+              within 0.05 (GeneralSetup.f90:146-185 — THE regression gate)
+
+Ini surface (the reference's key names wherever the concept carries over):
+  file_root, action, samples, num_chains, feedback, checkpoint,
+  MPI_R_Stop, MPI_Max_R_ProposeUpdate, propose_matrix, seed,
+  parameterization = theta | background,
+  param[name] = center [min max start_width propose_width],
+  prior[name] = mean std, linear_combination* blocks,
+  cmb_dataset[tag] = <CMBlikes .dataset>, pliklite_dataset = <.dataset>,
+  bao_dataset[tag] = <.dataset>, sn_dataset[tag] = <.dataset>,
+  use_HST + Hubble_* keys, temperature, test_check_compare,
+  post_root / redo_* (action=1 subset).
+
+Every accessed key is dumped to `<file_root>.inputparams` (provenance,
+driver.F90:188-202).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from cosmomc_tpu.utils.ini import IniFile
+from cosmomc_tpu.params.space import ParameterSpace, Speed
+
+
+def build_likelihoods(ini: IniFile, dtype):
+    """Assemble the likelihood list from ini keys (the registry role of
+    DataLikelihoods.f90 SetDataLikelihoods)."""
+    from cosmomc_tpu.likelihoods.base import LikelihoodList
+    from cosmomc_tpu.likelihoods.bao import BAOLikelihood
+    from cosmomc_tpu.likelihoods.cmblikes import CMBLikes
+    from cosmomc_tpu.likelihoods.hst import HSTLikelihood
+    from cosmomc_tpu.likelihoods.pliklite import PlikLiteLikelihood
+    from cosmomc_tpu.likelihoods.sn import SNLikelihood
+
+    likes = LikelihoodList()
+    needs_cls = False
+    for tag in ini.tags("cmb_dataset"):
+        likes.add(CMBLikes(ini.tagged("cmb_dataset", tag), name=tag,
+                           dtype=dtype))
+        needs_cls = True
+    pl = ini.string("pliklite_dataset")
+    if pl:
+        likes.add(PlikLiteLikelihood(pl, dtype=dtype))
+        needs_cls = True
+    for tag in ini.tags("bao_dataset"):
+        likes.add(BAOLikelihood(ini.tagged("bao_dataset", tag), name=tag,
+                                dtype=dtype))
+    for tag in ini.tags("sn_dataset"):
+        likes.add(SNLikelihood(ini.tagged("sn_dataset", tag), name=tag,
+                               dtype=dtype))
+    if ini.bool("use_HST", False):
+        likes.add(HSTLikelihood.from_ini(ini))
+    return likes, needs_cls
+
+
+def build_posterior(ini: IniFile, dtype=None):
+    """Composition root: parameterization + space + likelihoods -> posterior
+    (TCosmologyConfig + TSetup wiring)."""
+    import jax.numpy as jnp
+    from cosmomc_tpu.params.parameterizations import (
+        BackgroundParameterization, ThetaParameterization)
+    from cosmomc_tpu.pipeline import BackgroundPosterior, CMBPosterior
+
+    if dtype is None:
+        dtype = jnp.float64 if ini.bool("use_float64", True) else jnp.float32
+    likes, needs_cls = build_likelihoods(ini, dtype)
+    kind = ini.string("parameterization", "theta" if needs_cls else "background")
+    if kind == "theta":
+        par = ThetaParameterization(dtype)
+    elif kind == "background":
+        par = BackgroundParameterization(dtype)
+    else:
+        raise ValueError(f"unknown parameterization {kind}")
+    space = par.default_space(ini)
+    # priors on base params
+    for p in space.params:
+        pr = ini.string(f"prior[{p.name}]")
+        if pr:
+            m, s = (float(x) for x in pr.split())
+            p.prior_mean, p.prior_std = m, s
+    if needs_cls:
+        if kind != "theta":
+            raise ValueError("CMB likelihoods need parameterization=theta")
+        post = CMBPosterior(par, space, likes,
+                            lmax=ini.int("lmax_computed_cl", 2508),
+                            matter_power=ini.bool("use_matter_power", False),
+                            dtype=dtype)
+    else:
+        post = BackgroundPosterior(par, space, likes, dtype=dtype)
+    return post
+
+
+def run_ini(path: str, overrides: Optional[Dict[str, str]] = None) -> int:
+    import jax
+    import jax.numpy as jnp
+    t_start = time.time()
+    ini = IniFile(path)
+    if overrides:
+        ini.params.update(overrides)
+    action = ini.int("action", 0)
+    file_root = ini.string("file_root", required=action != 4)
+    if file_root:
+        os.makedirs(os.path.dirname(os.path.abspath(file_root)), exist_ok=True)
+    feedback = ini.int("feedback", 1)
+    post = build_posterior(ini)
+
+    if action == 4:
+        # likelihood test gate (GeneralSetup.f90:146-185)
+        P = np.array([p.center for p in post.space.varying])
+        fn = jax.jit(post.logpost())
+        t0 = time.time()
+        mll, derived = fn(jnp.asarray(P))
+        mll = float(mll)
+        dt = time.time() - t0
+        print(f"Test -log(Like) = {mll:15.6f}   ({dt:.1f}s incl. compile)")
+        want = ini.float("test_check_compare")
+        if want is not None:
+            ok = abs(mll - want) < 0.05
+            print(f"test_check_compare = {want:15.6f}  -> "
+                  f"{'OK' if ok else 'MISMATCH'}")
+            if file_root:
+                ini.write_read_values(file_root + ".inputparams")
+            return 0 if ok else 1
+        if file_root:
+            ini.write_read_values(file_root + ".inputparams")
+        return 0
+
+    if action == 2:
+        from cosmomc_tpu.sampling.minimize import (find_best_fit,
+                                                   estimate_covariance,
+                                                   write_minimum_file)
+        best = find_best_fit(post.logpost(), post.space,
+                             use_grad=ini.bool("minimize_use_grad", True))
+        best.cov = estimate_covariance(post.logpost(), best.P)
+        write_minimum_file(file_root + ".minimum", post.space, best)
+        post.space.write_covmat(file_root + ".hessian.covmat", best.cov)
+        print(f"best fit -logL = {best.mloglike:.6f} "
+              f"({best.n_evals} evals, {time.time()-t_start:.1f}s)")
+        ini.write_read_values(file_root + ".inputparams")
+        return 0
+
+    if action == 1:
+        from cosmomc_tpu.sampling.importance import importance_sample_chains
+        redo_root = ini.string("redo_root", required=True)
+        post_tag = ini.string("post_suffix", "post")
+        res = importance_sample_chains(
+            redo_root, post.logpost(), f"{file_root}_{post_tag}",
+            mode="add" if ini.bool("redo_add", False) else "replace")
+        print(f"importance sampling done: eff frac = {res.eff_frac:.3f}")
+        return 0
+
+    # ---- action = 0: sampling ----
+    from cosmomc_tpu.sampling.metropolis import MetropolisSampler
+    from cosmomc_tpu.sampling.runner import SamplingRun, RunConfig
+    nchains = ini.int("num_chains", 128)
+    prop = post.make_proposal(
+        oversample_fast=ini.int("oversample_fast", 1),
+        propose_scale=ini.float("propose_scale", 2.4))
+    pm = ini.string("propose_matrix")
+    if pm:
+        cov, _ = post.space.load_covmat(pm)
+        prop.set_covariance(cov)
+    else:
+        w = np.array([p.propose_width for p in post.space.varying])
+        prop.set_covariance(np.diag(w ** 2))
+    sampler = MetropolisSampler(prop, post.logpost(),
+                                num_derived=post.num_derived,
+                                temperature=ini.float("temperature", 1.0))
+    cfg = RunConfig(
+        nchains=nchains,
+        segment_steps=ini.int("segment_steps", 128),
+        max_steps=ini.int("samples", 4_000_000),
+        r_stop=ini.float("MPI_R_Stop", 0.05),
+        max_r_propose_update=ini.float("MPI_Max_R_ProposeUpdate", 2.0),
+        seed=ini.int("seed", 0),
+    )
+    rng = np.random.default_rng(cfg.seed)
+    run = SamplingRun(sampler, cfg,
+                      post.start_positions(rng, nchains),
+                      chain_root=file_root, feedback=feedback,
+                      paramnames=post.paramnames(), space=post.space)
+    if ini.bool("checkpoint", True):
+        run.resume()
+    ini.write_read_values(file_root + ".inputparams")
+    res = run.run()
+    print(f"done: {res.steps} steps, R-1 = {res.r_minus_1:.4f}, "
+          f"accept = {res.accept_rate:.3f}, stopped on {res.stopped_on}")
+    # analysis outputs (GetDist layer)
+    if ini.bool("write_stats", True):
+        from cosmomc_tpu.analysis.mcsamples import MCSamples
+        try:
+            s = MCSamples.load(file_root, ignore_frac=0.3)
+            s.write_all(file_root)
+        except FileNotFoundError:
+            pass
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print(__doc__)
+        return 2
+    over = {}
+    for kv in argv[1:]:
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            over[k.strip()] = v.strip()
+    return run_ini(argv[0], over)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

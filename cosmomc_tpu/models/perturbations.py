@@ -518,6 +518,8 @@ def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
         psidot = phidot - 1.5 * dgpidot / k2
         # gauge transform (MB95 eq 27): delta_con = delta_syn + alpha rho'/rho
         # with rho'/rho = -4 aH for photons -> Theta0_N = dg/4 - aH alpha
+        # (sign validated empirically: the opposite choice destroys the
+        # Sachs-Wolfe plateau, >100% low-l TT errors)
         theta0_N = y[_I_DG] / 4.0 - aux["adotoa"] * alpha
         vb_N = (y[_I_TB] + k2 * alpha) / kk
         Pi = aux["pol_term"]

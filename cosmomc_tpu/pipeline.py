@@ -39,7 +39,15 @@ class BackgroundPosterior:
         self.slices = self.likes.add_nuisance_to_space(self.space)
         self.varying_idx = self.space.varying_indices
         self._full_template = np.array([p.center for p in self.space.params])
-        self.num_derived = len(BACKGROUND_DERIVED_NAMES)
+        # drop derived params that are also sampled (e.g. H0 in the
+        # background parameterization) — the sampled column already exists
+        sampled = {p.name for p in self.space.params}
+        self._derived_keep = [i for i, (n, _) in
+                              enumerate(BACKGROUND_DERIVED_NAMES)
+                              if n not in sampled]
+        self.derived_names = [BACKGROUND_DERIVED_NAMES[i]
+                              for i in self._derived_keep]
+        self.num_derived = len(self.derived_names)
 
     def embed_full(self, varying: jnp.ndarray) -> jnp.ndarray:
         """Embed varying vector into the full parameter vector (traced)."""
@@ -54,7 +62,7 @@ class BackgroundPosterior:
             th = compute_background_theory(bg, self.fixed_rs)
             total, _per = self.likes.total_log_like(th, P, self.slices)
             der = background_derived(th)
-            return total, der
+            return total, der[jnp.asarray(self._derived_keep, jnp.int32)]
         return fn
 
     def logpost(self) -> Callable:
@@ -65,7 +73,7 @@ class BackgroundPosterior:
 
     def paramnames(self) -> ParamNames:
         pn = self.space.param_names()
-        for name, label in BACKGROUND_DERIVED_NAMES:
+        for name, label in self.derived_names:
             pn.add(ParamInfo(name, label, derived=True))
         return pn
 
@@ -139,9 +147,13 @@ class CMBPosterior:
         self._full_template = np.array([p.center for p in self.space.params])
         self._i_logA = self.space.index("logA")
         self._i_ns = self.space.index("ns")
-        self.derived_names = list(CMB_DERIVED_NAMES)
+        all_derived = list(CMB_DERIVED_NAMES)
         if self.matter_power:
-            self.derived_names.append(("sigma8", r"\sigma_8"))
+            all_derived.append(("sigma8", r"\sigma_8"))
+        sampled = {p.name for p in self.space.params}
+        self._derived_keep = [i for i, (n, _) in enumerate(all_derived)
+                              if n not in sampled]
+        self.derived_names = [all_derived[i] for i in self._derived_keep]
         self.num_derived = len(self.derived_names)
         if self.bbn_table is None:
             from cosmomc_tpu.models.bbn import load_bbn_table
@@ -230,7 +242,8 @@ class CMBPosterior:
                    ex["yhe"]]
             if self.matter_power:
                 der.append(theory.sigma8_z[0])
-            return total, jnp.stack([jnp.asarray(d, P.dtype) for d in der])
+            der = jnp.stack([jnp.asarray(d, P.dtype) for d in der])
+            return total, der[jnp.asarray(self._derived_keep, jnp.int32)]
         return fn
 
     def logpost(self) -> Callable:

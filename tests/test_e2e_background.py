@@ -46,9 +46,10 @@ class TestEndToEnd:
         m = float(m)
         assert np.isfinite(m) and 400 < m < 800  # ~1055 points total
         assert np.all(np.isfinite(np.asarray(der)))
-        # derived: H0, omegam, omegal, rdrag
-        assert abs(float(der[0]) - 68.0) < 1e-9
-        assert 140 < float(der[3]) < 155
+        # derived excludes sampled H0/omegam -> [omegal, rdrag]
+        assert [n for n, _ in post.derived_names] == ["omegal", "rdrag"]
+        assert abs(float(der[0]) - 0.69) < 1e-6
+        assert 140 < float(der[1]) < 155
 
     def test_posterior_gradient(self):
         post = build_posterior()
