@@ -41,6 +41,7 @@ from cosmomc_tpu.params.space import ParameterSpace, Speed
 def build_likelihoods(ini: IniFile, dtype):
     """Assemble the likelihood list from ini keys (the registry role of
     DataLikelihoods.f90 SetDataLikelihoods)."""
+    from cosmomc_tpu.likelihoods.abundances import AbundanceLikelihood
     from cosmomc_tpu.likelihoods.base import LikelihoodList
     from cosmomc_tpu.likelihoods.bao import BAOLikelihood
     from cosmomc_tpu.likelihoods.cmblikes import CMBLikes
@@ -50,6 +51,10 @@ def build_likelihoods(ini: IniFile, dtype):
 
     likes = LikelihoodList()
     needs_cls = False
+    for tag in ini.tags("abundance_dataset"):
+        likes.add(AbundanceLikelihood(
+            ini.tagged("abundance_dataset", tag), name=tag,
+            bbn_consistency=ini.bool("bbn_consistency", True)))
     for tag in ini.tags("cmb_dataset"):
         likes.add(CMBLikes(ini.tagged("cmb_dataset", tag), name=tag,
                            dtype=dtype))
@@ -128,6 +133,10 @@ def run_ini(path: str, overrides: Optional[Dict[str, str]] = None) -> int:
         mll, derived = fn(jnp.asarray(P))
         mll = float(mll)
         dt = time.time() - t0
+        # per-likelihood chi2 table (GeneralSetup.f90:165-172 prints each
+        # likelihood's chisq = 2*loglike and its tag)
+        for lname, val in post.per_likelihood(P).items():
+            print(f"  {lname:<28s} chi2 = {2*val:12.4f}")
         print(f"Test -log(Like) = {mll:15.6f}   ({dt:.1f}s incl. compile)")
         want = ini.float("test_check_compare")
         if want is not None:

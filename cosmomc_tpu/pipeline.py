@@ -71,6 +71,11 @@ class BackgroundPosterior:
             self.raw_logpost(), arr["lo"], arr["hi"],
             prior_arrays=arr, num_derived=self.num_derived)
 
+    def per_likelihood(self, P_varying: np.ndarray) -> Dict[str, float]:
+        """chi^2/2 per likelihood at one point (the action=4 table,
+        GeneralSetup.f90:165-172)."""
+        return _per_likelihood(self, P_varying)
+
     def paramnames(self) -> ParamNames:
         pn = self.space.param_names()
         for name, label in self.derived_names:
@@ -95,6 +100,22 @@ class BackgroundPosterior:
             vals = rng.normal(p.center, max(p.start_width, 1e-12), nchains)
             out[:, i] = np.clip(vals, p.min, p.max)
         return out
+
+
+def _per_likelihood(post, P_varying) -> Dict[str, float]:
+    """Evaluate each registered likelihood at one varying-parameter point.
+    Host-side (one jit trace), used by the action=4 test gate."""
+    P = jnp.asarray(P_varying, post.dtype)
+    full = post.embed_full(P)
+    if hasattr(post, "compute_theory"):
+        theory, _ = post.compute_theory(full)
+    else:
+        bg = post.parameterization.to_background(full)
+        th = compute_background_theory(bg, getattr(post, "fixed_rs", None))
+        theory = th
+    _, per = post.likes.total_log_like(theory, P, post.slices)
+    per = np.asarray(per, np.float64)
+    return {like.name: float(v) for like, v in zip(post.likes.likes, per)}
 
 
 PRIMORDIAL_PARAMS = [
@@ -251,6 +272,11 @@ class CMBPosterior:
         return make_bounded_posterior(
             self.raw_logpost(), arr["lo"], arr["hi"],
             prior_arrays=arr, num_derived=self.num_derived)
+
+    def per_likelihood(self, P_varying: np.ndarray) -> Dict[str, float]:
+        """chi^2/2 per likelihood at one point (the action=4 table,
+        GeneralSetup.f90:165-172)."""
+        return _per_likelihood(self, P_varying)
 
     def paramnames(self) -> ParamNames:
         pn = self.space.param_names()

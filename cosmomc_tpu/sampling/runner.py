@@ -86,6 +86,7 @@ class SamplingRun:
         self.steps_done = 0
         self.burned_in_at = -1
         self.r_current = np.inf
+        self._read_mtime = 0.0               # runtime-control file freshness
 
     # ---------- main loop ----------
 
@@ -120,6 +121,9 @@ class SamplingRun:
                     break
             if self.writer is not None and seg_i % cfg.checkpoint_freq_segments == 0:
                 self.checkpoint()
+            if self._check_runtime_control():
+                stopped_on = "exit_requested"
+                break
 
         if self.writer is not None:
             self.writer.close()
@@ -129,6 +133,37 @@ class SamplingRun:
         ar = float(np.asarray(self.state.num_accept).mean()) / max(self.steps_done, 1)
         return RunResult(self.steps_done, self.r_current, self.burned_in_at, ar,
                          means, cov, time.time() - t0, stopped_on)
+
+    # ---------- runtime control ----------
+
+    def _check_runtime_control(self) -> bool:
+        """Poll `<root>.read` between segments (reference CheckParamChange,
+        settings.f90:290-313: a small ini dropped next to the chains can
+        change feedback or request a clean exit mid-run). Returns True if
+        an exit was requested."""
+        if self.chain_root is None:
+            return False
+        path = self.chain_root + ".read"
+        try:
+            mtime = os.path.getmtime(path)
+        except OSError:
+            return False
+        if mtime <= self._read_mtime:
+            return False
+        self._read_mtime = mtime
+        from cosmomc_tpu.utils.ini import IniFile
+        try:
+            ini = IniFile(path)
+        except Exception:
+            return False
+        fb = ini.int("feedback")
+        if fb is not None:
+            self.feedback = fb
+            print(f"runtime control: feedback -> {fb}", flush=True)
+        if ini.bool("exit", False):
+            print("runtime control: exit requested", flush=True)
+            return True
+        return False
 
     # ---------- burn-in ----------
 

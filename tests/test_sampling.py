@@ -181,3 +181,26 @@ class TestRunner:
         run2 = SamplingRun(sampler, cfg, P0, chain_root=root, feedback=0)
         assert run2.resume()
         assert run2.steps_done == 256
+
+    def test_runtime_control_exit(self, tmp_path):
+        """A `<root>.read` file with exit=T stops the run between segments
+        (reference CheckParamChange, settings.f90:290-313)."""
+        import os
+        n = 2
+        target = make_gaussian_target(np.eye(n))
+        bp = BlockedProposal([np.arange(n)], slow_block_max=1)
+        bp.set_covariance(np.eye(n))
+        post = make_bounded_posterior(target, jnp.full((n,), -50.0),
+                                      jnp.full((n,), 50.0))
+        sampler = MetropolisSampler(bp, post)
+        root = str(tmp_path / "c" / "t")
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        with open(root + ".read", "w") as f:
+            f.write("feedback = 0\nexit = T\n")
+        cfg = RunConfig(nchains=8, segment_steps=32, max_steps=100_000,
+                        r_stop=1e-12, seed=5)
+        run = SamplingRun(sampler, cfg, np.zeros((cfg.nchains, n)),
+                          chain_root=root, feedback=0)
+        res = run.run()
+        assert res.stopped_on == "exit_requested"
+        assert res.steps == 32   # stopped after the first segment
