@@ -56,8 +56,20 @@ def build_likelihoods(ini: IniFile, dtype):
             ini.tagged("abundance_dataset", tag), name=tag,
             bbn_consistency=ini.bool("bbn_consistency", True)))
     for tag in ini.tags("cmb_dataset"):
-        likes.add(CMBLikes(ini.tagged("cmb_dataset", tag), name=tag,
-                           dtype=dtype))
+        path = ini.tagged("cmb_dataset", tag)
+        overrides = ini.tag_overrides("cmb_dataset", tag)
+        # BK-style datasets declare per-map bandpasses -> foreground model
+        # (the reference registers TBK_planck for these, CMB.f90:54-123)
+        from cosmomc_tpu.likelihoods.base import read_dataset_ini
+        dsi = read_dataset_ini(path)
+        if any(k.startswith("bandpass[") for k in dsi.params):
+            from cosmomc_tpu.likelihoods.bkplanck import BKPlanckLikelihood
+            likes.add(BKPlanckLikelihood(path, name=tag,
+                                         dataset_overrides=overrides,
+                                         dtype=dtype))
+        else:
+            likes.add(CMBLikes(path, name=tag, dataset_overrides=overrides,
+                               dtype=dtype))
         needs_cls = True
     pl = ini.string("pliklite_dataset")
     if pl:
@@ -102,9 +114,21 @@ def build_posterior(ini: IniFile, dtype=None):
     if needs_cls:
         if kind != "theta":
             raise ValueError("CMB likelihoods need parameterization=theta")
+        compute_tensors = ini.bool("compute_tensors", False)
+        if compute_tensors and "r" not in space:
+            rspec = ini.string("param[r]")
+            if rspec:
+                parts = [float(x) for x in rspec.split()]
+                if len(parts) == 1:
+                    space.add(Param("r", parts[0], parts[0], parts[0],
+                                    0, 0, "r", Speed.SEMISLOW))
+                else:
+                    space.add(Param("r", *parts[:5], label="r",
+                                    speed=Speed.SEMISLOW))
         post = CMBPosterior(par, space, likes,
                             lmax=ini.int("lmax_computed_cl", 2508),
                             matter_power=ini.bool("use_matter_power", False),
+                            compute_tensors=compute_tensors,
                             dtype=dtype)
     else:
         post = BackgroundPosterior(par, space, likes, dtype=dtype)

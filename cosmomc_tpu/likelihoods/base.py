@@ -69,8 +69,14 @@ class Likelihood:
                         m, s = (float(x) for x in pr.split())
                         p.prior_mean, p.prior_std = m, s
             elif defaults and info.name in defaults:
-                p = Param(info.name, *defaults[info.name], label=info.label,
-                          speed=Speed.FAST)
+                spec = defaults[info.name]
+                if len(spec) == 1:
+                    # single value = fixed parameter (BaseParameters.f90:122)
+                    p = Param(info.name, spec[0], spec[0], spec[0], 0.0, 0.0,
+                              label=info.label, speed=Speed.FAST)
+                else:
+                    p = Param(info.name, *spec[:5], label=info.label,
+                              speed=Speed.FAST)
             else:
                 raise ValueError(
                     f"{self.name}: no param[] spec for nuisance {info.name}")

@@ -47,15 +47,19 @@ class CMBTheory(NamedTuple):
 
 def compute_transfers(bg: BackgroundParams, tau_reion, yhe,
                       k: np.ndarray | jnp.ndarray,
-                      z_outputs: Tuple[float, ...] = (0.0,)
-                      ) -> Tuple[PerturbationOutput, jnp.ndarray]:
+                      z_outputs: Tuple[float, ...] = (0.0,),
+                      return_thermo: bool = False):
     """Slow stage: thermal history + Boltzmann evolution (the analog of
-    CAMB_GetTransfers). Returns (transfers, chi_star)."""
+    CAMB_GetTransfers). Returns (transfers, chi_star); with
+    `return_thermo`, also the ThermoFuncs tables (so the tensor stage can
+    share the same thermal history, camb.f90 CAMB_GetResults tensor pass)."""
     tf, tau0 = build_thermo_funcs(bg, yhe, tau_reion)
     po = evolve_perturbations(bg, tf, tau0, jnp.asarray(k), z_outputs)
     # chi_star: distance to the visibility peak
     ipk = jnp.argmax(tf.vis)
     chi_star = tau0 - tf.tau[ipk]
+    if return_thermo:
+        return po, chi_star, tf
     return po, chi_star
 
 

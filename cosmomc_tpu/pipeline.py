@@ -155,6 +155,8 @@ class CMBPosterior:
     matter_power: bool = False
     z_pk: Tuple[float, ...] = (0.0, 0.2, 0.38, 0.51, 0.61, 1.0, 2.0)
     n_step_boltzmann: int = 0                # 0 = module default
+    compute_tensors: bool = False            # r -> tensor TT/TE/EE/BB
+    inflation_consistency: bool = True       # nt = -r/8
     dtype: object = jnp.float64
     bbn_table: object = None
 
@@ -163,11 +165,16 @@ class CMBPosterior:
         for p in PRIMORDIAL_PARAMS:
             if p.name not in self.space:
                 self.space.add(Param(**p.__dict__))
+        if self.compute_tensors and "r" not in self.space:
+            # test.ini's conventional range (compute_tensors=T + param[r])
+            self.space.add(Param("r", 0.03, 0.0, 2.0, 0.04, 0.04, "r",
+                                 Speed.SEMISLOW))
         self.slices = self.likes.add_nuisance_to_space(self.space)
         self.varying_idx = self.space.varying_indices
         self._full_template = np.array([p.center for p in self.space.params])
         self._i_logA = self.space.index("logA")
         self._i_ns = self.space.index("ns")
+        self._i_r = self.space.index("r") if self.compute_tensors else None
         all_derived = list(CMB_DERIVED_NAMES)
         if self.matter_power:
             all_derived.append(("sigma8", r"\sigma_8"))
@@ -206,14 +213,20 @@ class CMBPosterior:
         bg = self.parameterization.to_background(full_P)
         tau_re = full_P[3]
         yhe = yhe_bbn(bg.ombh2, bg.nnu - 3.046, self.bbn_table)
+        if self.compute_tensors:
+            r = full_P[self._i_r]
+            nt = -r / 8.0 if self.inflation_consistency else 0.0
+        else:
+            r, nt = 0.0, 0.0
         pp = PrimordialParams.make(logA=full_P[self._i_logA],
-                                   ns=full_P[self._i_ns],
+                                   ns=full_P[self._i_ns], r=r, nt=nt,
                                    dtype=self.dtype)
 
         # slow stage: Boltzmann transfers to lmax+margin
         lmax_c = self.lmax + self.lens_margin
         k = source_k_grid(kmax=self.kmax)
-        po, chi_star = compute_transfers(bg, tau_re, yhe, k)
+        po, chi_star, tf = compute_transfers(bg, tau_re, yhe, k,
+                                             return_thermo=True)
         # semi-slow: primordial power -> spectra; lens to self.lmax
         spec = cls_from_transfers(po, chi_star, pp, lmax=lmax_c,
                                   kmax_hint=self.kmax)
@@ -229,6 +242,24 @@ class CMBPosterior:
         cls = cls.at[1, 1, sl].set(lensed.ee)
         cls = cls.at[2, 2, sl].set(lensed.bb)
         cls = cls.at[3, 3, sl].set(spec.pp[:self.lmax - 1])
+
+        if self.compute_tensors:
+            # tensor pass sharing the thermal history (Calculator_CAMB
+            # assembles lensed scalar + tensor, :349-463)
+            from cosmomc_tpu.models.tensors import (evolve_tensors,
+                                                    tensor_k_grid,
+                                                    compute_tensor_cls)
+            to = evolve_tensors(bg, tf, po.tau0, tensor_k_grid())
+            lmax_t = min(700, self.lmax)
+            tens = compute_tensor_cls(to, pp, lmax=lmax_t)
+            muk2 = (2.7255e6) ** 2
+            slt = slice(2, lmax_t + 1)
+            nlt = lmax_t - 1
+            cls = cls.at[0, 0, slt].add(muk2 * tens.tt[:nlt])
+            cls = cls.at[1, 0, slt].add(muk2 * tens.te[:nlt])
+            cls = cls.at[0, 1, slt].add(muk2 * tens.te[:nlt])
+            cls = cls.at[1, 1, slt].add(muk2 * tens.ee[:nlt])
+            cls = cls.at[2, 2, slt].add(muk2 * tens.bb[:nlt])
 
         # exact thermal-history derived: rs at z_drag (bao), z*, r*
         th = compute_thermo(bg, yhe)

@@ -149,8 +149,9 @@ class IniFile:
             return default
         return [float(x) for x in v.split()]
 
-    def string_list(self, key: str, default: Optional[List[str]] = None) -> Optional[List[str]]:
-        v = self._get(key, None, False)
+    def string_list(self, key: str, default: Optional[List[str]] = None,
+                    required: bool = False) -> Optional[List[str]]:
+        v = self._get(key, None, required)
         if v is None:
             return default
         return v.split()
