@@ -75,6 +75,16 @@ def build_likelihoods(ini: IniFile, dtype):
     if pl:
         likes.add(PlikLiteLikelihood(pl, dtype=dtype))
         needs_cls = True
+    sp = ini.string("sptpol_TEEE_dataset")
+    if sp:
+        from cosmomc_tpu.likelihoods.sptpol import SPTpolTEEELikelihood
+        likes.add(SPTpolTEEELikelihood(sp, dtype=dtype))
+        needs_cls = True
+    sp = ini.string("sptpol_BB_dataset")
+    if sp:
+        from cosmomc_tpu.likelihoods.sptpol import SPTpolBBLikelihood
+        likes.add(SPTpolBBLikelihood(sp, dtype=dtype))
+        needs_cls = True
     for tag in ini.tags("bao_dataset"):
         likes.add(BAOLikelihood(ini.tagged("bao_dataset", tag), name=tag,
                                 dtype=dtype))
