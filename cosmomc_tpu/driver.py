@@ -91,6 +91,14 @@ def build_likelihoods(ini: IniFile, dtype):
     for tag in ini.tags("sn_dataset"):
         likes.add(SNLikelihood(ini.tagged("sn_dataset", tag), name=tag,
                                dtype=dtype))
+    if ini.bool("use_WL", False):
+        from cosmomc_tpu.likelihoods.wl import WLLikelihood
+        for tag in ini.tags("wl_dataset"):
+            likes.add(WLLikelihood(
+                ini.tagged("wl_dataset", tag), name=tag,
+                dataset_overrides=ini.tag_overrides("wl_dataset", tag),
+                use_non_linear=ini.bool("wl_use_non_linear", True)))
+            needs_cls = True   # WL needs the full theory stage (P(k,z))
     if ini.bool("use_HST", False):
         likes.add(HSTLikelihood.from_ini(ini))
     return likes, needs_cls

@@ -45,6 +45,10 @@ class CMBTheoryProducts(NamedTuple):
     z_pk: Optional[jnp.ndarray] = None
     sigma8_z: Optional[jnp.ndarray] = None
     fsigma8_z: Optional[jnp.ndarray] = None
+    #: full P(k,z) tables (models/matterpower.MatterPower) for likelihoods
+    #: that integrate over the power spectrum (WL, MPK); the analog of the
+    #: reference's MPK/NL_MPK interpolators (CosmoTheory.f90:103-132)
+    mp: Optional[object] = None
 
     def fsigma8_at(self, z):
         """f sigma8(z) from the table (bao.f90:264-306 f_sigma8 rows)."""

@@ -186,11 +186,22 @@ class CMBPosterior:
         if self.bbn_table is None:
             from cosmomc_tpu.models.bbn import load_bbn_table
             self.bbn_table = load_bbn_table()
-        # required lmax across CMB likelihoods
+        # requirements aggregation across likelihoods (the role of
+        # Initialize_CMBSettings / Initialize_PKSettings unions,
+        # CosmologyTypes.f90:248-411)
+        zmax_req = 0.0
         for like in self.likes.likes:
             need = getattr(like, "required_lmax", lambda: 0)()
             if need > self.lmax:
                 raise ValueError(f"{like.name} needs lmax {need} > {self.lmax}")
+            if getattr(like, "needs_matter_power", False):
+                self.matter_power = True
+            zmax_req = max(zmax_req, getattr(like, "required_zmax", 0.0))
+        if zmax_req > max(self.z_pk):
+            # dense log(1+z) grid to the union max (PK interpolation grid)
+            extra = np.expm1(np.linspace(
+                np.log1p(max(self.z_pk)), np.log1p(zmax_req * 1.02), 24))[1:]
+            self.z_pk = tuple(self.z_pk) + tuple(float(z) for z in extra)
 
     def embed_full(self, varying: jnp.ndarray) -> jnp.ndarray:
         full = jnp.asarray(self._full_template, varying.dtype)
@@ -270,13 +281,14 @@ class CMBPosterior:
         if self.matter_power:
             from cosmomc_tpu.models.matterpower import compute_matter_power
             mp = compute_matter_power(bg, pp, tau_re, yhe,
-                                      z_outputs=self.z_pk)
+                                      z_outputs=tuple(sorted(self.z_pk)))
             z_pk, s8, fs8 = mp.z, mp.sigma8_z, mp.fsigma8_z
         else:
-            z_pk = s8 = fs8 = None
+            mp = z_pk = s8 = fs8 = None
 
         theory = CMBTheoryProducts(bg=bg, bf=bf, rs_drag=der.r_drag, cls=cls,
-                                   z_pk=z_pk, sigma8_z=s8, fsigma8_z=fs8)
+                                   z_pk=z_pk, sigma8_z=s8, fsigma8_z=fs8,
+                                   mp=mp)
         extras = dict(z_star=der.z_star, r_star=der.r_star, yhe=yhe,
                       zre=zre_from_tau(bg, tau_re, yhe))
         return theory, extras
