@@ -125,9 +125,11 @@ def main():
     run = SamplingRun(sampler, cfg, post.start_positions(rng, nchains).astype(np.float32),
                       chain_root=None, feedback=0)
 
-    # device warmup (first contact with a cold tunnel can take minutes)
+    # device warmup (first contact with a cold tunnel can take minutes) —
+    # including the FIRST device->host transfer, which opens the tunnel's
+    # D2H channel (~2 min one-time; pay it here, not inside a timed phase)
     t0 = time.time()
-    jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    _ = np.asarray(jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8))))
     log(f"device warmup {time.time()-t0:.1f}s")
 
     # compile + burn-in segments
@@ -143,6 +145,8 @@ def main():
     for _ in range(n_burn):
         sched = prop.make_schedule(seg, run.rng)
         run.state, out = sampler.run_segment(run.state, sched)
+        if time.time() - t0 > 90:   # wall-clock guard: a slow/cold tunnel
+            break                   # must never time the driver out
     jax.block_until_ready(run.state.P)
     log(f"burn-in {n_burn} segments {time.time()-t0:.1f}s")
 
@@ -158,10 +162,15 @@ def main():
     n_timed = 2 if smoke else max(4, 6144 // seg)
     outs = []
     t0 = time.time()
+    done = 0
     for _ in range(n_timed):
         sched = prop.make_schedule(seg, run.rng)
         run.state, out = sampler.run_segment(run.state, sched)
         outs.append(out.P)
+        done += 1
+        if time.time() - t0 > 150:   # wall-clock guard (see burn-in loop)
+            break
+    n_timed = done
     jax.block_until_ready(outs[-1])
     device_s = time.time() - t0
     log(f"timed {n_timed} segments {device_s:.1f}s")

@@ -376,7 +376,8 @@ class WLLikelihood(Likelihood):
         # lensing efficiency q_s: two reversed cumsums (O(nz)) replace the
         # reference triangle loop (:514-521)
         fac = dchis[:, None] * n_chi                       # (nz, nb)
-        rev = lambda x: jnp.flip(jnp.cumsum(jnp.flip(x, 0), axis=0), 0)
+        from cosmomc_tpu.utils.interp import parallel_cumsum
+        rev = lambda x: jnp.flip(parallel_cumsum(jnp.flip(x, 0), axis=0), 0)
         qs = rev(fac) - chis[:, None] * rev(fac / chis[:, None])
         # (100/c_kms)^2 = (H0/h c)^2 in 1/Mpc^2 — the reference writes
         # (1e5/const_c)^2 with const_c in m/s (wl.f90:523,529)

@@ -154,41 +154,67 @@ def dtauda(bg: BackgroundParams, a):
 # Distances
 # ---------------------------------------------------------------------------
 
-N_CHI_GRID = 2048
+N_CHI_GRID = 512   # trapezoid on the log(1+z) grid: ~2e-5 relative accuracy
 Z_GRID_MAX = 1100.0 * 3  # covers recombination for theta
 
 
 class BackgroundFunctions(NamedTuple):
     """Precomputed distance tables for one parameter point.
 
-    Built with cumulative trapezoid on a dense log(1+z) grid + linear
-    interpolation — deliberately NO cubic-spline (Thomas) solves: those are
-    sequential scans, and nested inside the sampler's step scan they blow
-    up XLA compile time and serialize the TPU. 2048 points give ~1e-6
-    relative distance accuracy, all embarrassingly parallel."""
+    Built with cumulative Simpson on a uniform log(1+z) grid + cubic-Hermite
+    interpolation (both O(dx^4)) — deliberately NO cubic-spline (Thomas)
+    solves: those are sequential scans, and nested inside the sampler's step
+    scan they blow up XLA compile time and serialize the TPU. 512 points
+    give ~1e-7 relative distance accuracy, all embarrassingly parallel."""
     bg: BackgroundParams
     lz_grid: jnp.ndarray      # (N,) log(1+z)
     chi_grid: jnp.ndarray     # (N,) comoving radial distance, Mpc
     curvature_k: jnp.ndarray  # omk h^2 signal
+    dchi_grid: jnp.ndarray | None = None  # (N,) dchi/dlz at nodes (Hermite)
 
 
 def background_functions(bg: BackgroundParams, zmax: float = Z_GRID_MAX,
                          n: int = N_CHI_GRID) -> BackgroundFunctions:
     d = _densities(bg)
-    lz = jnp.linspace(0.0, jnp.log1p(zmax), n).astype(jnp.asarray(bg.ombh2).dtype)
-    z = jnp.expm1(lz)
-    a = 1.0 / (1.0 + z)
-    # chi = int dz / H_mpc ; in x = log(1+z): dchi/dx = (1+z)/H
-    f = (1.0 + z) / hubble_mpc(bg, a)
+    dtype = jnp.asarray(bg.ombh2).dtype
+    lz = jnp.linspace(0.0, jnp.log1p(zmax), n).astype(dtype)
     dx = lz[1] - lz[0]
-    seg = 0.5 * (f[1:] + f[:-1]) * dx
-    chi = jnp.concatenate([jnp.zeros((1,), f.dtype), jnp.cumsum(seg)])
-    return BackgroundFunctions(bg, lz, chi, d["omkh2"])
+    # chi = int dz / H_mpc ; in x = log(1+z): dchi/dx = (1+z)/H.
+    # Cumulative SIMPSON (node + midpoint evals): error O(dx^4), so 512
+    # points beat the old 2048-point trapezoid at a quarter the HBM traffic.
+    lz_all = jnp.concatenate([lz, lz[:-1] + dx / 2.0])   # nodes then midpoints
+    z_all = jnp.expm1(lz_all)
+    f_all = (1.0 + z_all) / hubble_mpc(bg, 1.0 / (1.0 + z_all))
+    f, fm = f_all[:n], f_all[n:]
+    seg = (dx / 6.0) * (f[:-1] + 4.0 * fm + f[1:])
+    from cosmomc_tpu.utils.interp import parallel_cumsum
+    # TPU: jnp.cumsum at this length lowers to a serial loop (O(s) compile
+    # blowup + ~ms runtime); the associative scan is log-depth
+    chi = jnp.concatenate([jnp.zeros((1,), f.dtype), parallel_cumsum(seg)])
+    return BackgroundFunctions(bg, lz, chi, d["omkh2"], f)
 
 
 def comoving_radial_distance(bf: BackgroundFunctions, z):
-    """chi(z) in Mpc (Calculator_Cosmology ComovingRadialDistance)."""
-    return jnp.interp(jnp.log1p(jnp.asarray(z)), bf.lz_grid, bf.chi_grid)
+    """chi(z) in Mpc (Calculator_Cosmology ComovingRadialDistance).
+
+    The lz grid is UNIFORM, so the lookup is a closed-form index — no
+    searchsorted (jnp.interp's binary search, vmapped over chains, cost
+    ~200 ms/step at 1024 chains on the TPU backend)."""
+    lz = jnp.log1p(jnp.asarray(z))
+    n = bf.chi_grid.shape[-1]
+    dx = bf.lz_grid[1] - bf.lz_grid[0]
+    t = lz / dx
+    i = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n - 2)
+    f = jnp.clip(t - i, 0.0, 1.0)
+    c0, c1 = bf.chi_grid[i], bf.chi_grid[i + 1]
+    if bf.dchi_grid is None:
+        return c0 * (1.0 - f) + c1 * f
+    # cubic Hermite using the known dchi/dlz at the nodes: O(dx^4)
+    d0, d1 = bf.dchi_grid[i] * dx, bf.dchi_grid[i + 1] * dx
+    f2 = f * f
+    f3 = f2 * f
+    return ((2 * f3 - 3 * f2 + 1) * c0 + (f3 - 2 * f2 + f) * d0
+            + (-2 * f3 + 3 * f2) * c1 + (f3 - f2) * d1)
 
 
 def _rofchi(bf: BackgroundFunctions, chi):

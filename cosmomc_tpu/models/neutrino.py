@@ -48,9 +48,25 @@ def _integrate_tables():
 
 
 _am_tab, _rho_tab, _p_tab = _integrate_tables()
-_log_am = jnp.asarray(np.log(_am_tab))
-_log_rho = jnp.asarray(np.log(_rho_tab))
-_log_p = jnp.asarray(np.log(_p_tab))
+_log_rho = np.log(_rho_tab)
+_log_p = np.log(_p_tab)
+_LOG_AM0 = float(np.log(_AM_MIN))
+_DLOG_AM = float((np.log(_AM_MAX) - np.log(_AM_MIN)) / (_N_TAB - 1))
+
+
+def _tab_lookup(am, tab_np):
+    """Linear interpolation in log(am) on the UNIFORM log grid.
+
+    Closed-form index instead of jnp.interp: the vmapped searchsorted
+    lowered to ~230 ms/step at (1024 chains x 2048 grid) on the TPU backend
+    — 1000x the arithmetic cost. The table closes over as a host numpy
+    constant (device constants force a device->host readback at lowering,
+    which is minutes-slow on a tunneled TPU the first time)."""
+    tab = jnp.asarray(tab_np, am.dtype)
+    t = (jnp.log(jnp.clip(am, _AM_MIN * 1.1, _AM_MAX * 0.9)) - _LOG_AM0) / _DLOG_AM
+    i = jnp.clip(t.astype(jnp.int32), 0, _N_TAB - 2)
+    f = t - i
+    return jnp.exp(tab[i] * (1.0 - f) + tab[i + 1] * f)
 
 
 def nu_rho(am):
@@ -58,9 +74,7 @@ def nu_rho(am):
     am = jnp.asarray(am)
     small = 1.0 + _const2 * am ** 2
     big = 3.0 / (2.0 * nu_const) * (zeta3 * am + 15.0 * zeta5 / (2.0 * am))
-    amc = jnp.clip(am, _AM_MIN * 1.1, _AM_MAX * 0.9)
-    mid = jnp.exp(jnp.interp(jnp.log(amc), _log_am.astype(am.dtype),
-                             _log_rho.astype(am.dtype)))
+    mid = _tab_lookup(am, _log_rho)
     out = jnp.where(am <= _AM_MIN * 1.1, small,
                     jnp.where(am >= _AM_MAX * 0.9, big, mid))
     return out
@@ -71,8 +85,6 @@ def nu_pres(am):
     am = jnp.asarray(am)
     small = (2.0 - (1.0 + _const2 * am ** 2)) / 3.0
     big = (900.0 / 120.0 / nu_const) * (zeta5 - 63.0 / 4.0 * zeta7 / am ** 2) / am
-    amc = jnp.clip(am, _AM_MIN * 1.1, _AM_MAX * 0.9)
-    mid = jnp.exp(jnp.interp(jnp.log(amc), _log_am.astype(am.dtype),
-                             _log_p.astype(am.dtype)))
+    mid = _tab_lookup(am, _log_p)
     return jnp.where(am <= _AM_MIN * 1.1, small,
                      jnp.where(am >= _AM_MAX * 0.9, big, mid))

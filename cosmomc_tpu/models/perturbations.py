@@ -39,6 +39,7 @@ from cosmomc_tpu.models import constants as const
 from cosmomc_tpu.models.background import (BackgroundParams, _densities,
                                            hubble_mpc, H100_MPC)
 from cosmomc_tpu.models.recfast import compute_thermo
+from cosmomc_tpu.utils.interp import parallel_cumsum
 from cosmomc_tpu.models.reionization import xe_reion, zre_from_tau
 
 # hierarchy truncations (CAMB defaults are comparable: lmaxg~12, lmaxnr~...)
@@ -122,7 +123,7 @@ def _conformal_time_table(bg: BackgroundParams, n: int = 4096):
     f = 1.0 / (a * hubble_mpc(bg, a))
     dl = lna[1] - lna[0]
     seg = 0.5 * (f[1:] + f[:-1]) * dl
-    tau = jnp.concatenate([f[0] * a[0:1] * 0 + f[0] * 0, jnp.cumsum(seg)])
+    tau = jnp.concatenate([f[0] * a[0:1] * 0 + f[0] * 0, parallel_cumsum(seg)])
     # radiation-era analytic start: tau(a0) ~ a0/(a'..) = a0/(H100*sqrt(or))
     d = _densities(bg)
     tau0_rad = a[0] / (H100_MPC * jnp.sqrt(d["ogh2"] + d["onu1"] * (d["massless_deg"] + d["massive_deg"])))
@@ -208,7 +209,7 @@ def build_thermo_funcs(bg: BackgroundParams, yhe, tau_reion: float | jnp.ndarray
     # density ~ 1/dt_target; cumulative "step count" N(tau)
     dens = 1.0 / dt_target
     cum = jnp.concatenate([jnp.zeros((1,), dtype),
-                           jnp.cumsum(0.5 * (dens[1:] + dens[:-1]) * jnp.diff(tprov))])
+                           parallel_cumsum(0.5 * (dens[1:] + dens[:-1]) * jnp.diff(tprov))])
     cum = cum / cum[-1] * (n_step - 1)
     # invert: tau_i such that N(tau_i) = i
     idx = jnp.arange(n_step, dtype=dtype)
@@ -219,7 +220,7 @@ def build_thermo_funcs(bg: BackgroundParams, yhe, tau_reion: float | jnp.ndarray
     opac_g = opac_of_z(z_g)
     # cumulative optical depth from tau0 backwards: kappa(tau) = int_tau^tau0
     dk = 0.5 * (opac_g[1:] + opac_g[:-1]) * jnp.diff(tau_grid)
-    kappa_from = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(dk)])
+    kappa_from = jnp.concatenate([jnp.zeros((1,), dtype), parallel_cumsum(dk)])
     kappa = kappa_from[-1] - kappa_from          # kappa(tau..tau0)
     expmk = jnp.exp(-kappa)
     vis = opac_g * expmk

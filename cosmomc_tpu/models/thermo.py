@@ -74,7 +74,8 @@ def compute_thermo_tables(bg: BackgroundParams, th: ThermoHistory,
 
     def cumtrapz(f):
         seg = 0.5 * (f[1:] + f[:-1]) * jnp.diff(xa)
-        return jnp.concatenate([jnp.zeros((1,), f.dtype), jnp.cumsum(seg)])
+        from cosmomc_tpu.utils.interp import parallel_cumsum
+        return jnp.concatenate([jnp.zeros((1,), f.dtype), parallel_cumsum(seg)])
 
     # cumulative trapezoid (parallel cumsum; the grid is dense enough that
     # spline-exact integration is unnecessary, and sequential Thomas solves

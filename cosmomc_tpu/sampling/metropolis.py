@@ -56,34 +56,32 @@ def make_bounded_posterior(logpost_fn: Callable, lo: jnp.ndarray, hi: jnp.ndarra
     """Wrap a raw -logL function with hard bounds + Gaussian/linear priors.
 
     Mirrors GetLogLikeBounds + GetLogPriors (calclike.f90:97-151). Out-of-
-    bounds points short-circuit to LOG_ZERO *without* evaluating the theory
-    (lax.cond), matching the reference's early exit.
+    bounds points evaluate the theory at the CLIPPED point and mask the
+    result to LOG_ZERO. The reference short-circuits without evaluating
+    (early exit on a serial CPU); here the chains are vmapped lanes, so a
+    `lax.cond` would run both branches on every lane anyway — and the cond
+    (a) blew XLA-TPU compile time up by >30x and (b) broke `jax.grad`
+    through the posterior (UnexpectedTracerError). clip+where costs nothing,
+    compiles fast, and is differentiable.
     """
     pa = prior_arrays or {}
 
     def bounded(P):
         inb = jnp.all((P >= lo) & (P <= hi))
-
-        def evaluate(P):
-            m, d = logpost_fn(P)
-            prior = jnp.zeros((), P.dtype)
-            if "has_prior" in pa:
-                t = (P - pa["prior_mean"].astype(P.dtype)) / pa["prior_std"].astype(P.dtype)
-                prior = prior + 0.5 * jnp.sum(jnp.where(pa["has_prior"], t * t, 0.0))
-            if "lin_w" in pa and pa["lin_w"].shape[0] > 0:
-                s = ((pa["lin_w"].astype(P.dtype) @ P - pa["lin_mean"].astype(P.dtype))
-                     / pa["lin_std"].astype(P.dtype))
-                prior = prior + 0.5 * jnp.sum(s * s)
-            bad = jnp.logical_or(jnp.isnan(m), m >= LOG_ZERO * 0.1)
-            # cast both outputs to the input dtype so the cond branches agree
-            # regardless of internal upcasts in the theory path
-            return (jnp.where(bad, LOG_ZERO, m + prior).astype(P.dtype),
-                    d.astype(P.dtype))
-
-        def reject(P):
-            return jnp.asarray(LOG_ZERO, P.dtype), jnp.zeros((num_derived,), P.dtype)
-
-        return jax.lax.cond(inb, evaluate, reject, P)
+        Psafe = jnp.clip(P, lo, hi)   # theory always sees in-bounds params
+        m, d = logpost_fn(Psafe)
+        prior = jnp.zeros((), P.dtype)
+        if "has_prior" in pa:
+            t = (P - pa["prior_mean"].astype(P.dtype)) / pa["prior_std"].astype(P.dtype)
+            prior = prior + 0.5 * jnp.sum(jnp.where(pa["has_prior"], t * t, 0.0))
+        if "lin_w" in pa and pa["lin_w"].shape[0] > 0:
+            s = ((pa["lin_w"].astype(P.dtype) @ P - pa["lin_mean"].astype(P.dtype))
+                 / pa["lin_std"].astype(P.dtype))
+            prior = prior + 0.5 * jnp.sum(s * s)
+        bad = jnp.logical_or(jnp.isnan(m), m >= LOG_ZERO * 0.1)
+        ok = jnp.logical_and(inb, jnp.logical_not(bad))
+        return (jnp.where(ok, m + prior, LOG_ZERO).astype(P.dtype),
+                jnp.where(ok, d.astype(P.dtype), 0.0))
 
     return bounded
 
@@ -97,7 +95,10 @@ class MetropolisSampler:
     temperature: float = 1.0
 
     def __post_init__(self):
-        self._vlogpost = jax.vmap(self.logpost_fn)
+        # jit the vmapped posterior: init_state calls it OUTSIDE the compiled
+        # segment, and an un-jitted vmap executes op-by-op — thousands of
+        # tiny dispatches that take minutes over the TPU tunnel
+        self._vlogpost = jax.jit(jax.vmap(self.logpost_fn))
         self._run_segment = None
 
     # ---------- initialization ----------
@@ -111,12 +112,10 @@ class MetropolisSampler:
 
     # ---------- one step ----------
 
-    def step(self, state: ChainState, sched_t, seg_rots) -> Tuple[ChainState, Tuple]:
-        block, direction, rot_index = sched_t
+    def step(self, state: ChainState, sched_t) -> Tuple[ChainState, Tuple]:
+        delta_dir, m2 = sched_t
         key, k_prop, k_acc = jax.random.split(state.key, 3)
-        trial = self.proposal.propose(k_prop, state.P, seg_rots,
-                                      block, direction, rot_index,
-                                      mapping=state.mapping)
+        trial = self.proposal.propose_step(k_prop, state.P, delta_dir, m2)
         mll_t, der_t = self._vlogpost(trial)
         # Metropolis accept in -logL units with temperature
         # (MCMC.f90:119-131: accept if better, else with prob exp(-(dLogL)/T))
@@ -134,21 +133,27 @@ class MetropolisSampler:
 
     def run_segment(self, state: ChainState, schedule: ProposalSchedule
                     ) -> Tuple[ChainState, SegmentOutput]:
-        sched = (jnp.asarray(schedule.block), jnp.asarray(schedule.direction),
-                 jnp.asarray(schedule.rot_index))
+        # the schedule reaches the compiled function as arrays of identical
+        # shape across segments (plus the static num_rots tuple, which is a
+        # function of segment length only), so one compile serves the whole
+        # run even though every segment has a fresh random schedule.
+        sched = ProposalSchedule(jnp.asarray(schedule.block),
+                                 jnp.asarray(schedule.direction),
+                                 jnp.asarray(schedule.rot_index),
+                                 tuple(schedule.num_rots))
+        m2 = jnp.asarray(self.proposal.schedule_radius_dims(schedule))
         if self._run_segment is None:
-            def seg(state, sched, num_rots):
+            def seg(state, sched, m2, num_rots):
                 nchains = state.P.shape[0]
                 key, k_rot = jax.random.split(state.key)
                 state = state._replace(key=key)
-                # all the segment's rotations in one batched QR (not inside
-                # the scan body — a cond-gated QR per step compiles terribly
-                # on TPU)
-                seg_rots = self.proposal.segment_rotations(k_rot, nchains,
-                                                           num_rots)
-                def body(st, xs):
-                    return self.step(st, xs, seg_rots)
-                final, outs = jax.lax.scan(body, state, sched)
+                # precompute every step's proposal direction before the scan
+                # (see proposal.segment_deltas)
+                deltas = self.proposal.segment_deltas(
+                    k_rot, nchains, sched._replace(num_rots=num_rots),
+                    state.mapping, state.P.dtype)
+                final, outs = jax.lax.scan(self.step, state, (deltas, m2))
                 return final, SegmentOutput(*outs)
-            self._run_segment = jax.jit(seg, static_argnums=2)
-        return self._run_segment(state, sched, tuple(schedule.num_rots))
+            self._run_segment = jax.jit(seg, static_argnums=3)
+        return self._run_segment(state, sched._replace(num_rots=()), m2,
+                                 tuple(schedule.num_rots))

@@ -158,73 +158,111 @@ class BlockedProposal:
 
     def segment_rotations(self, key: jax.Array, nchains: int,
                           num_rots: Tuple[int, ...]) -> List[jnp.ndarray]:
-        """Pregenerate every rotation a segment needs: one batched QR per
-        block, shape (nchains, num_rots_b, size, size)."""
+        """Pregenerate every rotation a segment needs: one batched
+        orthogonalization per block, shape (nchains, num_rots_b, size, size)."""
         keys = jax.random.split(key, len(self.block_sizes))
         return [random_rotation(k, nchains * nr, sz).reshape(nchains, nr, sz, sz)
                 for k, nr, sz in zip(keys, num_rots, self.block_sizes)]
 
-    def propose(self, key: jax.Array, P: jnp.ndarray,
-                seg_rots: List[jnp.ndarray], block: jnp.ndarray,
-                direction: jnp.ndarray, rot_index: jnp.ndarray,
-                mapping: jnp.ndarray) -> jnp.ndarray:
-        """One proposal step for all chains.
+    def segment_deltas(self, key: jax.Array, nchains: int,
+                       schedule: ProposalSchedule,
+                       mapping: jnp.ndarray, dtype) -> jnp.ndarray:
+        """Precompute the proposal *direction* for every step of a segment:
+        (S, nchains, n) in varying order, unit radius.
 
-        P: (nchains, n) in *varying order*; block/direction/rot_index are
-        traced scalars from the shared schedule; seg_rots from
-        `segment_rotations`. `mapping` MUST be a traced argument (closing
-        over self.mapping would freeze the covariance at trace time and
-        silently disable adaptation). Returns the trial points.
+        The schedule (block, direction-in-block, rotation index) is static
+        host data, so the per-step rotation column and mapping slice are
+        selected with static indexing and contracted in one batched einsum
+        per block — the compiled scan body then only scales by the random
+        radius and adds. (The previous design computed EVERY block's delta
+        at every step and `jnp.select`-ed; at 1024 chains the resulting
+        graph took >13 min to compile on the TPU backend.)
+
+        `mapping` MUST be a traced argument (closing over self.mapping would
+        freeze the covariance at trace time and silently disable adaptation).
         """
-        nchains = P.shape[0]
-        deltas = []
+        S = len(schedule.block)
+        seg_rots = self.segment_rotations(key, nchains, schedule.num_rots)
+        # the schedule reaches the trace as device arrays so segments with
+        # fresh random schedules reuse ONE compile; each block contributes a
+        # batched gather+einsum over all S steps (a few nb x S x C x n flops,
+        # negligible outside the scan), then the scheduled block's row wins.
+        block = jnp.asarray(schedule.block)
+        direction = jnp.asarray(schedule.direction)
+        rot_index = jnp.asarray(schedule.rot_index)
+        out = jnp.zeros((S, nchains, self.n), dtype)
         for b, (s, size) in enumerate(zip(self.block_starts, self.block_sizes)):
-            rb = seg_rots[b]
+            rb = seg_rots[b]                                  # (C, nr, sz, sz)
             ri = jnp.minimum(rot_index, rb.shape[1] - 1)
-            # direction column for each chain: (nchains, size)
-            col = rb[:, ri, :, jnp.minimum(direction, size - 1)]
-            r = _propose_r(jax.random.fold_in(key, b), nchains, size, P.dtype)
-            vec = col * (r * self.propose_scale)[:, None]       # (nchains, size)
-            Mb = mapping[:, s:s + size].astype(P.dtype)         # (n, size)
-            delta_ord = vec @ Mb.T                              # (nchains, n)
-            deltas.append(delta_ord)
-        delta_ord = jnp.select([block == b for b in range(len(deltas))], deltas)
-        inv = jnp.asarray(self.inv_order)
-        return P + delta_ord[:, inv]
+            di = jnp.minimum(direction, size - 1)
+            # advanced indices at axes 1,3 are non-adjacent -> result
+            # (S, nchains, size)
+            cols = rb[:, ri, :, di].astype(dtype)
+            Mb = mapping[:, s:s + size].astype(dtype)         # (n, sz)
+            d = jnp.einsum("scp,np->scn", cols, Mb)           # (S, C, n)
+            out = jnp.where((block == b)[:, None, None], d, out)
+        return out[:, :, jnp.asarray(self.inv_order)]
+
+    def schedule_radius_dims(self, schedule: ProposalSchedule) -> np.ndarray:
+        """Static per-step min(block_dim, 2) for the radius mixture."""
+        sizes = np.asarray(self.block_sizes)
+        return np.minimum(sizes[np.asarray(schedule.block)], 2).astype(np.int32)
+
+    def propose_step(self, key: jax.Array, P: jnp.ndarray,
+                     delta_dir: jnp.ndarray, m2: jnp.ndarray) -> jnp.ndarray:
+        """Apply one precomputed direction: trial = P + r * scale * delta.
+        `delta_dir`: (nchains, n) from `segment_deltas`; `m2`: traced scalar
+        min(block_dim, 2) from `schedule_radius_dims`."""
+        r = _propose_r_m(key, P.shape[0], m2, P.dtype)
+        return P + delta_dir * (r * self.propose_scale)[:, None]
 
 
 def random_rotation(key: jax.Array, nchains: int, n: int) -> jnp.ndarray:
     """Batch of random orthogonal matrices (nchains, n, n), Haar-distributed
     (reference RandUtils RandRotation).
 
-    Implemented as statically-unrolled modified Gram-Schmidt on Gaussian
-    matrices (two passes for f32 robustness) rather than jnp.linalg.qr: the
-    TPU QR custom-call allocates the whole batch in VMEM and dies on large
-    chain counts (and compiles far slower). MGS with the positive-norm
-    convention on Gaussians is exactly Haar.
+    Implemented as a `lax.scan` over columns doing classical Gram-Schmidt
+    with reorthogonalization (CGS2, "twice is enough") on Gaussian matrices
+    rather than jnp.linalg.qr: the TPU QR custom-call allocates the whole
+    batch in VMEM and dies on large chain counts (and compiles far slower).
+    The previous statically-unrolled MGS emitted O(n^2) HLO ops and was the
+    main contributor to the 1024-chain compile blowup. GS on Gaussians with
+    the positive-norm convention is exactly Haar.
     """
     if n == 1:
         sign = jnp.where(jax.random.bernoulli(key, shape=(nchains, 1, 1)), 1.0, -1.0)
         return sign.astype(jnp.float32)
-    g = jax.random.normal(key, (nchains, n, n), jnp.float32)
-    cols = [g[:, :, j] for j in range(n)]
-    for _pass in range(2):
-        for j in range(n):
-            v = cols[j]
-            for i in range(j):
-                q = cols[i]
-                v = v - jnp.sum(q * v, axis=-1, keepdims=True) * q
-            cols[j] = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
-    return jnp.stack(cols, axis=-1)
+    g = jax.random.normal(key, (n, nchains, n), jnp.float32)  # columns first
+    eye = jnp.eye(n, dtype=jnp.float32)
+
+    def body(Q, xs):
+        v, j = xs                      # v: (nchains, n) candidate column
+        for _ in range(2):             # CGS2 reorthogonalization
+            coef = jnp.einsum("cni,cn->ci", Q, v)
+            v = v - jnp.einsum("cni,ci->cn", Q, coef)
+        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+        Q = Q + v[:, :, None] * eye[j][None, None, :]
+        return Q, None
+
+    Q0 = jnp.zeros((nchains, n, n), jnp.float32)
+    Q, _ = jax.lax.scan(body, Q0, (g, jnp.arange(n)))
+    return Q
 
 
 def _propose_r(key: jax.Array, nchains: int, block_size: int, dtype) -> jnp.ndarray:
     """Radius mixture: 1/3 Exp(1), 2/3 rms of min(n,2) normals
     (propose.f90 Propose_r)."""
+    return _propose_r_m(key, nchains, min(block_size, 2), dtype)
+
+
+def _propose_r_m(key: jax.Array, nchains: int, m2, dtype) -> jnp.ndarray:
+    """Radius mixture with traced m2 = min(block_dim, 2): draw 2 normals and
+    mask the second, so the shape is static inside the scan body."""
     k1, k2, k3 = jax.random.split(key, 3)
     use_exp = jax.random.uniform(k1, (nchains,)) < (1.0 / 3.0)
     r_exp = jax.random.exponential(k2, (nchains,), dtype)
-    m = min(block_size, 2)
-    g = jax.random.normal(k3, (nchains, m), dtype)
-    r_gauss = jnp.sqrt(jnp.sum(g * g, axis=1) / m)
+    g = jax.random.normal(k3, (nchains, 2), dtype)
+    m2f = jnp.asarray(m2, dtype)
+    use2 = (m2f > 1.5).astype(dtype)
+    r_gauss = jnp.sqrt((g[:, 0] ** 2 + use2 * g[:, 1] ** 2) / m2f)
     return jnp.where(use_exp, r_exp, r_gauss)

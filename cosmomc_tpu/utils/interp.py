@@ -136,7 +136,7 @@ def spline_cumint(sp: Spline) -> jnp.ndarray:
     x, y, y2 = sp
     h = jnp.diff(x)
     seg = h * (y[:-1] + y[1:]) / 2.0 - h ** 3 * (y2[:-1] + y2[1:]) / 24.0
-    return jnp.concatenate([jnp.zeros((1,), x.dtype), jnp.cumsum(seg)])
+    return jnp.concatenate([jnp.zeros((1,), x.dtype), parallel_cumsum(seg)])
 
 
 # ---------------------------------------------------------------------------
