@@ -99,6 +99,20 @@ def build_likelihoods(ini: IniFile, dtype):
                 dataset_overrides=ini.tag_overrides("wl_dataset", tag),
                 use_non_linear=ini.bool("wl_use_non_linear", True)))
             needs_cls = True   # WL needs the full theory stage (P(k,z))
+    if ini.bool("use_mpk", False):
+        # reference: mpk.f90 MPKLikelihood_Add (mpk_numdatasets/mpk_dataset%d
+        # keys) + the WiggleZ four-bin route (wigglez.f90)
+        from cosmomc_tpu.likelihoods.mpk import MPKLikelihood, WiggleZLikelihood
+        for i in range(1, ini.int("mpk_numdatasets", 0) + 1):
+            path = ini.string(f"mpk_dataset{i}", required=True)
+            nonlin = ini.bool(f"mpk_dataset_nonlinear{i}", False)
+            if "wigglez" in os.path.basename(path).lower():
+                likes.add(WiggleZLikelihood(
+                    path, nonlinear=nonlin,
+                    use_gigglez=ini.bool("Use_gigglez", nonlin), dtype=dtype))
+            else:
+                likes.add(MPKLikelihood(path, nonlinear=nonlin, dtype=dtype))
+            needs_cls = True   # MPK needs the P(k,z) theory stage
     if ini.bool("use_HST", False):
         likes.add(HSTLikelihood.from_ini(ini))
     return likes, needs_cls
@@ -230,9 +244,17 @@ def run_ini(path: str, overrides: Optional[Dict[str, str]] = None) -> int:
     else:
         w = np.array([p.propose_width for p in post.space.varying])
         prop.set_covariance(np.diag(w ** 2))
-    sampler = MetropolisSampler(prop, post.logpost(),
-                                num_derived=post.num_derived,
-                                temperature=ini.float("temperature", 1.0))
+    if hasattr(post, "stage_slow") and ini.bool("use_fast_slow", True):
+        # CMB posterior: staged sampler exploits the fast/slow recompute
+        # split (CalcLike_Cosmology.f90:59-94) — nuisance/primordial moves
+        # reuse cached transfers instead of re-running the Boltzmann solve
+        from cosmomc_tpu.sampling.staged import StagedMetropolisSampler
+        sampler = StagedMetropolisSampler(
+            prop, post, temperature=ini.float("temperature", 1.0))
+    else:
+        sampler = MetropolisSampler(prop, post.logpost(),
+                                    num_derived=post.num_derived,
+                                    temperature=ini.float("temperature", 1.0))
     cfg = RunConfig(
         nchains=nchains,
         segment_steps=ini.int("segment_steps", 128),

@@ -34,8 +34,10 @@ class BesselTable(NamedTuple):
     ls: jnp.ndarray       # (nl,) int32 multipoles tabulated
     x0: float             # grid start (0)
     dx: float             # grid spacing
-    jl: jnp.ndarray       # (nl, nx) j_l values
-    jlp: jnp.ndarray      # (nl, nx) j_l' values
+    jl: np.ndarray        # (nl, nx) j_l values (HOST numpy: a device-array
+                          # constant forces a slow device->host readback at
+                          # lowering on tunneled TPU backends)
+    jlp: np.ndarray       # (nl, nx) j_l' values
 
 
 @lru_cache(maxsize=4)
@@ -60,17 +62,21 @@ def build_bessel_table(ls_tuple: Tuple[int, ...], xmax: float,
         else:
             jlp[i] = jall[index[li - 1]] - (li + 1) / xnz * jl[i]
             jlp[i, x == 0.0] = 0.0
-    return BesselTable(jnp.asarray(ls, jnp.int32), 0.0, dx,
-                       jnp.asarray(jl, jnp.float32), jnp.asarray(jlp, jnp.float32))
+    # ALL fields host numpy: the builder is lru-cached, so a device array
+    # created inside a jit trace would leak a tracer into later traces
+    return BesselTable(ls.astype(np.int32), 0.0, dx,
+                       jl.astype(np.float32), jlp.astype(np.float32))
 
 
 def eval_bessel(tab: BesselTable, il: int, x: jnp.ndarray):
     """(j_l, j_l') at x (any shape) for table row il, linear interp."""
     t = x / tab.dx
-    i = jnp.clip(t.astype(jnp.int32), 0, tab.jl.shape[1] - 2)
-    f = (t - i).astype(tab.jl.dtype)
-    jl = tab.jl[il, i] * (1 - f) + tab.jl[il, i + 1] * f
-    jp = tab.jlp[il, i] * (1 - f) + tab.jlp[il, i + 1] * f
+    jl_t = jnp.asarray(tab.jl)
+    jlp_t = jnp.asarray(tab.jlp)
+    i = jnp.clip(t.astype(jnp.int32), 0, jl_t.shape[1] - 2)
+    f = (t - i).astype(jl_t.dtype)
+    jl = jl_t[il, i] * (1 - f) + jl_t[il, i + 1] * f
+    jp = jlp_t[il, i] * (1 - f) + jlp_t[il, i + 1] * f
     return jl, jp
 
 

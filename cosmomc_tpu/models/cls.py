@@ -54,13 +54,38 @@ def fine_k_grid(tau0: float, kmax: float, points_per_osc: float = 4.0,
     return kmin + dk * np.arange(n + 1)
 
 
+class ClTransferCache(NamedTuple):
+    """Line-of-sight transfer functions Delta_l(k) on the fine k grid —
+    the semi-slow cache of the reference's two-stage compute: CAMB stores
+    exactly this in `CAMBTransferCache` so `CAMB_TransfersToPowers`
+    (camb/camb.f90:87-102) can re-apply a new primordial power without
+    re-evolving perturbations. `wk` are the dlnk quadrature weights."""
+    ls: jnp.ndarray        # (nl,) sampled multipoles (f dtype)
+    kf: jnp.ndarray        # (nkf,) fine quadrature k grid
+    wk: jnp.ndarray        # (nkf,) dlnk trapezoid weights
+    dT: jnp.ndarray        # (nl, nkf) temperature transfer
+    dE: jnp.ndarray        # (nl, nkf) E-polarization transfer
+    dP: jnp.ndarray        # (nl, nkf) lensing-potential transfer
+
+
 def compute_cls(po: PerturbationOutput, pp: PrimordialParams,
                 chi_star, lmax: int = 2500, tau0_hint: float = 14200.0,
                 kmax_hint: float = 0.6,
                 points_per_osc: float = 4.0) -> CMBSpectra:
-    """Assemble TT/TE/EE/phiphi. `chi_star` is the comoving distance to
-    recombination (for the lensing kernel). tau0_hint/kmax_hint bound the
-    static table sizes (actual tau0/k are traced values)."""
+    """Assemble TT/TE/EE/phiphi (one-shot: transfer stage + power stage)."""
+    cache = compute_cl_transfers(po, chi_star, lmax=lmax, tau0_hint=tau0_hint,
+                                 kmax_hint=kmax_hint,
+                                 points_per_osc=points_per_osc)
+    return cls_from_cl_transfers(cache, pp, lmax=lmax)
+
+
+def compute_cl_transfers(po: PerturbationOutput, chi_star, lmax: int = 2500,
+                         tau0_hint: float = 14200.0, kmax_hint: float = 0.6,
+                         points_per_osc: float = 4.0) -> ClTransferCache:
+    """SLOW stage: source x Bessel time integration -> Delta_l(k).
+    `chi_star` is the comoving distance to recombination (for the lensing
+    kernel). tau0_hint/kmax_hint bound the static table sizes (actual
+    tau0/k are traced values)."""
     dtype = po.s0.dtype
     ls = default_l_samples(lmax)
     kf = jnp.asarray(fine_k_grid(tau0_hint, kmax_hint, points_per_osc), dtype)
@@ -90,14 +115,12 @@ def compute_cls(po: PerturbationOutput, pp: PrimordialParams,
     # lensing kernel (flat): (chi* - chi)/(chi* chi), zero past chi*
     lens_w = jnp.where(chi < chi_star, (chi_star - chi) / (chi_star * chi), 0.0)
 
-    P_R = scalar_power(pp, kf)
     dlnk = jnp.diff(jnp.log(kf))
     wk = jnp.concatenate([dlnk[:1] / 2, (dlnk[1:] + dlnk[:-1]) / 2,
-                          dlnk[-1:] / 2])
-    wP = (wk * P_R).astype(dtype)
+                          dlnk[-1:] / 2]).astype(dtype)
 
-    jl_tab = tab.jl.astype(dtype)
-    jlp_tab = tab.jlp.astype(dtype)
+    jl_tab = jnp.asarray(tab.jl, dtype)
+    jlp_tab = jnp.asarray(tab.jlp, dtype)
     inv_dx = 1.0 / tab.dx
 
     S0w = S0 * wt
@@ -106,7 +129,7 @@ def compute_cls(po: PerturbationOutput, pp: PrimordialParams,
     SLw = SL * (wt * lens_w)
 
     def one_l(il):
-        l = tab.ls[il].astype(dtype)
+        l = jnp.asarray(tab.ls)[il].astype(dtype)
         t = x * inv_dx
         i = jnp.clip(t.astype(jnp.int32), 0, jl_tab.shape[1] - 2)
         f = t - i.astype(dtype)
@@ -124,19 +147,28 @@ def compute_cls(po: PerturbationOutput, pp: PrimordialParams,
         # Psi_W = (phi+psi)/2; SL carries e^-kappa (phi+psi) = 2 Psi_W, so
         # the factor-2 is already inside SL (sign drops in the auto-power)
         dP = jnp.sum(SLw * jl, axis=1)
-        tt = 4.0 * jnp.pi * jnp.sum(wP * dT * dT)
-        te = 4.0 * jnp.pi * jnp.sum(wP * dT * dE)
-        ee = 4.0 * jnp.pi * jnp.sum(wP * dE * dE)
-        cpp = 4.0 * jnp.pi * jnp.sum(wP * dP * dP)
-        return tt, te, ee, cpp
+        return dT, dE, dP
 
-    tts, tes, ees, pps = jax.lax.map(one_l, jnp.arange(len(ls)))
+    dT, dE, dP = jax.lax.map(one_l, jnp.arange(len(ls)))
+    return ClTransferCache(jnp.asarray(ls, dtype), kf, wk, dT, dE, dP)
+
+
+def cls_from_cl_transfers(cache: ClTransferCache, pp: PrimordialParams,
+                          lmax: int = 2500) -> CMBSpectra:
+    """SEMI-SLOW stage (CAMB_TransfersToPowers): apply the primordial power
+    to cached Delta_l(k) and spline-fill to every integer l."""
+    dtype = cache.dT.dtype
+    wP = (cache.wk * scalar_power(pp, cache.kf)).astype(dtype)
+    tts = 4.0 * jnp.pi * jnp.sum(wP * cache.dT * cache.dT, axis=1)
+    tes = 4.0 * jnp.pi * jnp.sum(wP * cache.dT * cache.dE, axis=1)
+    ees = 4.0 * jnp.pi * jnp.sum(wP * cache.dE * cache.dE, axis=1)
+    pps = 4.0 * jnp.pi * jnp.sum(wP * cache.dP * cache.dP, axis=1)
 
     # cubic-spline fill to all integer l in the l(l+1)C_l/2pi representation
     # (camb/modules.f90 lvalues semantics: the sampled-l spectra are smooth
     # in this representation; linear fill loses ~1-2% across acoustic peaks)
     from cosmomc_tpu.utils.interp import spline_fit, spline_eval
-    ls_f = jnp.asarray(ls, dtype)
+    ls_f = cache.ls
     fac = ls_f * (ls_f + 1) / (2 * jnp.pi)
     fac_pp = (ls_f * (ls_f + 1)) ** 2 / (2 * jnp.pi)
     all_l = jnp.arange(2, lmax + 1, dtype=dtype)

@@ -84,6 +84,36 @@ def _sigma_tophat(k, delta2, R):
     return jnp.trapezoid(integ, lnk, axis=-1)
 
 
+class MatterTransfers(NamedTuple):
+    """Primordial-power-independent matter transfers — the slow-stage cache
+    feeding `matter_power_from_transfers` (the reference's split between
+    CAMB_GetTransfers' MTrans and Transfer_GetUnsplinedPower)."""
+    k: jnp.ndarray          # (nk,)
+    z: jnp.ndarray          # (nz,) ascending
+    delta_m_z: jnp.ndarray  # (nz, nk) matter transfer per unit curvature
+    weyl_z: jnp.ndarray     # (nz, nk)
+    v_z: jnp.ndarray        # (nz, nk) velocity transfer d delta/d ln a
+    h: jnp.ndarray
+
+
+def compute_matter_transfers(bg: BackgroundParams, tau_reion, yhe,
+                             z_outputs: Sequence[float] = (0.0,),
+                             k: np.ndarray | None = None,
+                             n_step: int = 6144) -> MatterTransfers:
+    """SLOW stage: Boltzmann evolution on the wide matter k grid."""
+    zs = tuple(float(z) for z in z_outputs)
+    assert list(zs) == sorted(zs), "z_outputs must be ascending"
+    if k is None:
+        k = matter_k_grid()
+    kmax = float(np.max(k))
+    tf, tau0 = build_thermo_funcs(bg, yhe, tau_reion, n_step=n_step,
+                                  kmax=kmax)
+    po = evolve_perturbations(bg, tf, tau0, jnp.asarray(k, tf.tau.dtype), zs)
+    v_z = po.ddelta_m_z / po.aH_z[:, None]
+    return MatterTransfers(po.k, jnp.asarray(zs, po.k.dtype), po.delta_m_z,
+                           po.weyl_z, v_z, bg.H0 / 100.0)
+
+
 def compute_matter_power(bg: BackgroundParams, pp: PrimordialParams,
                          tau_reion, yhe,
                          z_outputs: Sequence[float] = (0.0,),
@@ -94,15 +124,17 @@ def compute_matter_power(bg: BackgroundParams, pp: PrimordialParams,
     linear P(k,z) -> sigma8 / f sigma8 -> halofit nonlinear P.
 
     z_outputs must be ascending and static (shapes are compile-time)."""
-    zs = tuple(float(z) for z in z_outputs)
-    assert list(zs) == sorted(zs), "z_outputs must be ascending"
-    if k is None:
-        k = matter_k_grid()
-    kmax = float(np.max(k))
-    tf, tau0 = build_thermo_funcs(bg, yhe, tau_reion, n_step=n_step,
-                                  kmax=kmax)
-    po = evolve_perturbations(bg, tf, tau0, jnp.asarray(k, tf.tau.dtype), zs)
+    mt = compute_matter_transfers(bg, tau_reion, yhe, z_outputs, k, n_step)
+    return matter_power_from_transfers(bg, pp, mt, nonlinear=nonlinear)
 
+
+def matter_power_from_transfers(bg: BackgroundParams, pp: PrimordialParams,
+                                mt: MatterTransfers,
+                                nonlinear: bool = True) -> MatterPower:
+    """SEMI-SLOW stage: apply primordial power to cached transfers ->
+    P(k,z), sigma8(z), f sigma8(z), halofit."""
+    po = mt
+    zs = mt.z
     kj = po.k
     h = bg.H0 / 100.0
     # (nz, nk) linear power
@@ -119,8 +151,9 @@ def compute_matter_power(bg: BackgroundParams, pp: PrimordialParams,
     R8 = 8.0 / h
     d2 = kj ** 3 / (2.0 * jnp.pi ** 2) * P
     sigma8 = jnp.sqrt(_sigma_tophat(kj, d2, R8))
-    # velocity transfer per unit curvature: d delta/d ln a = ddelta/tau' /(aH)
-    v_z = po.ddelta_m_z / po.aH_z[:, None]
+    # velocity transfer per unit curvature: d delta/d ln a (precomputed in
+    # the slow stage as ddelta/dtau / (aH))
+    v_z = po.v_z
     Pvd = jax.vmap(lambda d, v: (2.0 * jnp.pi ** 2) / kj ** 3
                    * scalar_power(pp, kj) * d * v)(po.delta_m_z, v_z)
     d2vd = kj ** 3 / (2.0 * jnp.pi ** 2) * Pvd

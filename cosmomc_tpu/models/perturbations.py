@@ -477,7 +477,8 @@ IC_RELEASE_KTAU = 0.08
 def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
                          tau0: jnp.ndarray, k: jnp.ndarray,
                          z_outputs: Tuple[float, ...] = (0.0,),
-                         rsa_ktau: float = RSA_KTAU) -> PerturbationOutput:
+                         rsa_ktau: float = RSA_KTAU,
+                         source_opts: dict | None = None) -> PerturbationOutput:
     """Evolve all k modes over the shared grid; emit sources per step.
 
     One `lax.scan` over the tau grid; the state carries all k lanes
@@ -521,11 +522,13 @@ def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
         # with rho'/rho = -4 aH for photons -> Theta0_N = dg/4 - aH alpha
         # (sign validated empirically: the opposite choice destroys the
         # Sachs-Wolfe plateau, >100% low-l TT errors)
-        theta0_N = y[_I_DG] / 4.0 - aux["adotoa"] * alpha
-        vb_N = (y[_I_TB] + k2 * alpha) / kk
+        so = source_opts or {}
+        theta0_N = y[_I_DG] / 4.0 - so.get("mono_gauge", 1.0) * aux["adotoa"] * alpha
+        vb_N = (y[_I_TB] + so.get("vb_gauge", 1.0) * k2 * alpha) / kk
         Pi = aux["pol_term"]
-        s0 = vis * (theta0_N + psi + Pi / 4.0) + expmk * (phidot + psidot)
-        s1 = vis * vb_N
+        s0 = (vis * (theta0_N + so.get("psi_in_s0", 1.0) * psi + Pi / 4.0)
+              + so.get("isw", 1.0) * expmk * (phidot + psidot))
+        s1 = so.get("doppler", 1.0) * vis * vb_N
         s2 = 0.75 * vis * Pi
         slens = expmk * (phi + psi)
         weyl = 0.5 * (phi + psi)

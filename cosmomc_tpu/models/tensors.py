@@ -266,14 +266,35 @@ class TensorSpectra(NamedTuple):
     bb: jnp.ndarray
 
 
+class TensorTransferCache(NamedTuple):
+    """Tensor LOS transfers Delta^X_l(k) — primordial-independent cache
+    (split mirrors cls.ClTransferCache; see compute_tensor_cls)."""
+    ls: jnp.ndarray
+    kf: jnp.ndarray
+    wk: jnp.ndarray
+    dT: jnp.ndarray
+    dE: jnp.ndarray
+    dB: jnp.ndarray
+
+
 def compute_tensor_cls(to: TensorOutput, pp: PrimordialParams,
                        lmax: int = 700, tau0_hint: float = 14700.0,
                        kmax_hint: float = 0.065,
                        points_per_osc: float = 4.0) -> TensorSpectra:
-    """LOS integration of the tensor sources (ZS97 window functions)."""
+    """LOS integration of the tensor sources (one-shot wrapper)."""
+    cache = compute_tensor_transfers(to, lmax=lmax, tau0_hint=tau0_hint,
+                                     kmax_hint=kmax_hint,
+                                     points_per_osc=points_per_osc)
+    return tensor_cls_from_transfers(cache, pp, lmax=lmax)
+
+
+def compute_tensor_transfers(to: TensorOutput,
+                             lmax: int = 700, tau0_hint: float = 14700.0,
+                             kmax_hint: float = 0.065,
+                             points_per_osc: float = 4.0) -> TensorTransferCache:
+    """SLOW stage: tensor sources x Bessel (ZS97 window functions)."""
     from cosmomc_tpu.models.bessel import build_bessel_table, default_l_samples
     from cosmomc_tpu.models.cls import fine_k_grid
-    from cosmomc_tpu.utils.interp import spline_fit, spline_eval
 
     dtype = to.sT.dtype
     ls = [l for l in default_l_samples(lmax)]
@@ -297,20 +318,18 @@ def compute_tensor_cls(to: TensorOutput, pp: PrimordialParams,
     wt = jnp.concatenate([dt[:1] / 2, (dt[1:] + dt[:-1]) / 2, dt[-1:] / 2])
     x = kf[:, None] * (tau0 - taus)[None, :]
 
-    P_T = tensor_power(pp, kf)
     dlnk = jnp.diff(lnkf)
     wk = jnp.concatenate([dlnk[:1] / 2, (dlnk[1:] + dlnk[:-1]) / 2,
-                          dlnk[-1:] / 2])
-    wP = (wk * P_T).astype(dtype)
+                          dlnk[-1:] / 2]).astype(dtype)
 
     STw = ST * wt
     SPw = SP * wt
-    jl_tab = tab.jl.astype(dtype)
-    jlp_tab = tab.jlp.astype(dtype)
+    jl_tab = jnp.asarray(tab.jl, dtype)
+    jlp_tab = jnp.asarray(tab.jlp, dtype)
     inv_dx = 1.0 / tab.dx
 
     def one_l(il):
-        l = tab.ls[il].astype(dtype)
+        l = jnp.asarray(tab.ls)[il].astype(dtype)
         t = x * inv_dx
         i = jnp.clip(t.astype(jnp.int32), 0, jl_tab.shape[1] - 2)
         f = t - i.astype(dtype)
@@ -325,15 +344,25 @@ def compute_tensor_cls(to: TensorOutput, pp: PrimordialParams,
         wB = 2.0 * jp + 4.0 * jl / xs
         dE = jnp.sum(SPw * wE, axis=1)
         dB = jnp.sum(SPw * wB, axis=1)
-        tt = 4.0 * jnp.pi * jnp.sum(wP * dT * dT)
-        te = 4.0 * jnp.pi * jnp.sum(wP * dT * dE)
-        ee = 4.0 * jnp.pi * jnp.sum(wP * dE * dE)
-        bb = 4.0 * jnp.pi * jnp.sum(wP * dB * dB)
-        return tt, te, ee, bb
+        return dT, dE, dB
 
-    tts, tes, ees, bbs = jax.lax.map(one_l, jnp.arange(len(ls)))
+    dT, dE, dB = jax.lax.map(one_l, jnp.arange(len(ls)))
+    return TensorTransferCache(jnp.asarray(ls, dtype), kf, wk, dT, dE, dB)
 
-    ls_f = jnp.asarray(ls, dtype)
+
+def tensor_cls_from_transfers(cache: TensorTransferCache,
+                              pp: PrimordialParams,
+                              lmax: int = 700) -> TensorSpectra:
+    """SEMI-SLOW stage: apply tensor primordial power to cached transfers."""
+    from cosmomc_tpu.utils.interp import spline_fit, spline_eval
+    dtype = cache.dT.dtype
+    wP = (cache.wk * tensor_power(pp, cache.kf)).astype(dtype)
+    tts = 4.0 * jnp.pi * jnp.sum(wP * cache.dT * cache.dT, axis=1)
+    tes = 4.0 * jnp.pi * jnp.sum(wP * cache.dT * cache.dE, axis=1)
+    ees = 4.0 * jnp.pi * jnp.sum(wP * cache.dE * cache.dE, axis=1)
+    bbs = 4.0 * jnp.pi * jnp.sum(wP * cache.dB * cache.dB, axis=1)
+
+    ls_f = cache.ls
     fac = ls_f * (ls_f + 1) / (2 * jnp.pi)
     all_l = jnp.arange(2, lmax + 1, dtype=dtype)
 

@@ -207,15 +207,32 @@ class CMBPosterior:
         full = jnp.asarray(self._full_template, varying.dtype)
         return full.at[jnp.asarray(self.varying_idx)].set(varying)
 
-    def compute_theory(self, full_P: jnp.ndarray) -> CMBTheoryProducts:
-        """One full theory forward pass (pure, traced)."""
+    # ------------------------------------------------------------------
+    # Staged theory pipeline (the reference's two-stage compute:
+    # Calculator_CAMB.f90 GetNewTransferData :179-218 = stage_slow,
+    # GetNewPowerData :220-275 = stage_semi; the sampler picks the stage
+    # from the proposal block class, CalcLike_Cosmology.f90:59-94)
+    # ------------------------------------------------------------------
+
+    def _primordial(self, full_P):
+        from cosmomc_tpu.models.primordial import PrimordialParams
+        if self.compute_tensors:
+            r = full_P[self._i_r]
+            nt = -r / 8.0 if self.inflation_consistency else 0.0
+        else:
+            r, nt = 0.0, 0.0
+        return PrimordialParams.make(logA=full_P[self._i_logA],
+                                     ns=full_P[self._i_ns], r=r, nt=nt,
+                                     dtype=self.dtype)
+
+    def stage_slow(self, full_P: jnp.ndarray) -> dict:
+        """Everything independent of the primordial power and nuisance:
+        thermal history, Boltzmann transfers Delta_l(k), matter transfers,
+        background tables, thermal derived scalars."""
         from cosmomc_tpu.models import background as bgm
         from cosmomc_tpu.models.bbn import yhe_bbn
-        from cosmomc_tpu.models.cmb import (compute_transfers,
-                                            cls_from_transfers,
-                                            source_k_grid)
-        from cosmomc_tpu.models.lensing import lens_cls
-        from cosmomc_tpu.models.primordial import PrimordialParams
+        from cosmomc_tpu.models.cmb import compute_transfers, source_k_grid
+        from cosmomc_tpu.models.cls import compute_cl_transfers
         from cosmomc_tpu.models.recfast import compute_thermo
         from cosmomc_tpu.models.reionization import zre_from_tau
         from cosmomc_tpu.models.thermo import (compute_thermo_tables,
@@ -224,26 +241,55 @@ class CMBPosterior:
         bg = self.parameterization.to_background(full_P)
         tau_re = full_P[3]
         yhe = yhe_bbn(bg.ombh2, bg.nnu - 3.046, self.bbn_table)
-        if self.compute_tensors:
-            r = full_P[self._i_r]
-            nt = -r / 8.0 if self.inflation_consistency else 0.0
-        else:
-            r, nt = 0.0, 0.0
-        pp = PrimordialParams.make(logA=full_P[self._i_logA],
-                                   ns=full_P[self._i_ns], r=r, nt=nt,
-                                   dtype=self.dtype)
 
-        # slow stage: Boltzmann transfers to lmax+margin
         lmax_c = self.lmax + self.lens_margin
         k = source_k_grid(kmax=self.kmax)
         po, chi_star, tf = compute_transfers(bg, tau_re, yhe, k,
                                              return_thermo=True)
-        # semi-slow: primordial power -> spectra; lens to self.lmax
-        spec = cls_from_transfers(po, chi_star, pp, lmax=lmax_c,
-                                  kmax_hint=self.kmax)
-        lensed = lens_cls(spec.ls, spec.tt, spec.te, spec.ee, spec.pp,
+        clt = compute_cl_transfers(po, chi_star, lmax=lmax_c,
+                                   kmax_hint=self.kmax)
+
+        if self.compute_tensors:
+            from cosmomc_tpu.models.tensors import (evolve_tensors,
+                                                    tensor_k_grid,
+                                                    compute_tensor_transfers)
+            to = evolve_tensors(bg, tf, po.tau0, tensor_k_grid())
+            lmax_t = min(700, self.lmax)
+            tt_cache = compute_tensor_transfers(to, lmax=lmax_t)
+        else:
+            tt_cache = None
+
+        th = compute_thermo(bg, yhe)
+        tabs = compute_thermo_tables(bg, th, yhe)
+        der = thermo_derived(bg, tabs)
+        bf = bgm.background_functions(bg)
+
+        if self.matter_power:
+            from cosmomc_tpu.models.matterpower import compute_matter_transfers
+            mt = compute_matter_transfers(bg, tau_re, yhe,
+                                          z_outputs=tuple(sorted(self.z_pk)))
+        else:
+            mt = None
+
+        return dict(bg=bg, yhe=yhe, clt=clt, tt_cache=tt_cache, bf=bf,
+                    mt=mt, rs_drag=der.r_drag, z_star=der.z_star,
+                    r_star=der.r_star, zre=zre_from_tau(bg, tau_re, yhe))
+
+    def stage_semi(self, full_P: jnp.ndarray, slow: dict) -> dict:
+        """Primordial-power application: C_l stack (+tensors), lensing,
+        P(k,z)/sigma8 tables (CAMB_TransfersToPowers + SetPowersFromCAMB)."""
+        from cosmomc_tpu.models.cls import cls_from_cl_transfers
+        from cosmomc_tpu.models.lensing import lens_cls
+
+        pp = self._primordial(full_P)
+        lmax_c = self.lmax + self.lens_margin
+        raw = cls_from_cl_transfers(slow["clt"], pp, lmax=lmax_c)
+        muk2 = (2.7255e6) ** 2
+        spec_tt = raw.tt * muk2
+        spec_te = raw.te * muk2
+        spec_ee = raw.ee * muk2
+        lensed = lens_cls(raw.ls, spec_tt, spec_te, spec_ee, raw.pp,
                           lmax_lensed=self.lmax)
-        # (4,4,lmax+1) TEBP stack in l(l+1)C_l/2pi muK^2
         nl = self.lmax + 1
         cls = jnp.zeros((4, 4, nl), self.dtype)
         sl = slice(2, self.lmax + 1)
@@ -252,18 +298,12 @@ class CMBPosterior:
         cls = cls.at[0, 1, sl].set(lensed.te)
         cls = cls.at[1, 1, sl].set(lensed.ee)
         cls = cls.at[2, 2, sl].set(lensed.bb)
-        cls = cls.at[3, 3, sl].set(spec.pp[:self.lmax - 1])
+        cls = cls.at[3, 3, sl].set(raw.pp[:self.lmax - 1])
 
         if self.compute_tensors:
-            # tensor pass sharing the thermal history (Calculator_CAMB
-            # assembles lensed scalar + tensor, :349-463)
-            from cosmomc_tpu.models.tensors import (evolve_tensors,
-                                                    tensor_k_grid,
-                                                    compute_tensor_cls)
-            to = evolve_tensors(bg, tf, po.tau0, tensor_k_grid())
+            from cosmomc_tpu.models.tensors import tensor_cls_from_transfers
             lmax_t = min(700, self.lmax)
-            tens = compute_tensor_cls(to, pp, lmax=lmax_t)
-            muk2 = (2.7255e6) ** 2
+            tens = tensor_cls_from_transfers(slow["tt_cache"], pp, lmax=lmax_t)
             slt = slice(2, lmax_t + 1)
             nlt = lmax_t - 1
             cls = cls.at[0, 0, slt].add(muk2 * tens.tt[:nlt])
@@ -272,42 +312,56 @@ class CMBPosterior:
             cls = cls.at[1, 1, slt].add(muk2 * tens.ee[:nlt])
             cls = cls.at[2, 2, slt].add(muk2 * tens.bb[:nlt])
 
-        # exact thermal-history derived: rs at z_drag (bao), z*, r*
-        th = compute_thermo(bg, yhe)
-        tabs = compute_thermo_tables(bg, th, yhe)
-        der = thermo_derived(bg, tabs)
-        bf = bgm.background_functions(bg)
-
         if self.matter_power:
-            from cosmomc_tpu.models.matterpower import compute_matter_power
-            mp = compute_matter_power(bg, pp, tau_re, yhe,
-                                      z_outputs=tuple(sorted(self.z_pk)))
+            from cosmomc_tpu.models.matterpower import matter_power_from_transfers
+            mp = matter_power_from_transfers(slow["bg"], pp, slow["mt"])
+            return dict(cls=cls, mp=mp)
+        return dict(cls=cls, mp=None)
+
+    def assemble_theory(self, slow: dict, semi: dict):
+        """Build the CMBTheoryProducts pytree from the two caches."""
+        mp = semi["mp"]
+        if mp is not None:
             z_pk, s8, fs8 = mp.z, mp.sigma8_z, mp.fsigma8_z
         else:
-            mp = z_pk = s8 = fs8 = None
-
-        theory = CMBTheoryProducts(bg=bg, bf=bf, rs_drag=der.r_drag, cls=cls,
+            z_pk = s8 = fs8 = None
+        theory = CMBTheoryProducts(bg=slow["bg"], bf=slow["bf"],
+                                   rs_drag=slow["rs_drag"], cls=semi["cls"],
                                    z_pk=z_pk, sigma8_z=s8, fsigma8_z=fs8,
                                    mp=mp)
-        extras = dict(z_star=der.z_star, r_star=der.r_star, yhe=yhe,
-                      zre=zre_from_tau(bg, tau_re, yhe))
+        extras = dict(z_star=slow["z_star"], r_star=slow["r_star"],
+                      yhe=slow["yhe"], zre=slow["zre"])
         return theory, extras
+
+    def compute_theory(self, full_P: jnp.ndarray) -> CMBTheoryProducts:
+        """One full theory forward pass (pure, traced)."""
+        slow = self.stage_slow(full_P)
+        semi = self.stage_semi(full_P, slow)
+        return self.assemble_theory(slow, semi)
+
+    def stage_fast(self, P: jnp.ndarray, slow: dict, semi: dict):
+        """FAST stage: likelihoods + derived from the cached theory —
+        nuisance-only moves pay exactly this (CalcLike_Cosmology.f90's
+        'else fast-only' branch)."""
+        theory, ex = self.assemble_theory(slow, semi)
+        total, _per = self.likes.total_log_like(theory, P, self.slices)
+        bg = theory.bg
+        h2 = (bg.H0 / 100.0) ** 2
+        omm = (bg.ombh2 + bg.omch2 + bg.omnuh2) / h2
+        der = [bg.H0 * jnp.ones(()), omm, 1.0 - bg.omk - omm,
+               theory.rs_drag, ex["z_star"], ex["r_star"], ex["zre"],
+               ex["yhe"]]
+        if self.matter_power:
+            der.append(theory.sigma8_z[0])
+        der = jnp.stack([jnp.asarray(d, P.dtype) for d in der])
+        return total, der[jnp.asarray(self._derived_keep, jnp.int32)]
 
     def raw_logpost(self) -> Callable:
         def fn(P):
             full = self.embed_full(P)
-            theory, ex = self.compute_theory(full)
-            total, _per = self.likes.total_log_like(theory, P, self.slices)
-            bg = theory.bg
-            h2 = (bg.H0 / 100.0) ** 2
-            omm = (bg.ombh2 + bg.omch2 + bg.omnuh2) / h2
-            der = [bg.H0 * jnp.ones(()), omm, 1.0 - bg.omk - omm,
-                   theory.rs_drag, ex["z_star"], ex["r_star"], ex["zre"],
-                   ex["yhe"]]
-            if self.matter_power:
-                der.append(theory.sigma8_z[0])
-            der = jnp.stack([jnp.asarray(d, P.dtype) for d in der])
-            return total, der[jnp.asarray(self._derived_keep, jnp.int32)]
+            slow = self.stage_slow(full)
+            semi = self.stage_semi(full, slow)
+            return self.stage_fast(P, slow, semi)
         return fn
 
     def logpost(self) -> Callable:

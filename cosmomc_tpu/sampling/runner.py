@@ -259,10 +259,16 @@ class SamplingRun:
             return False
         z = np.load(path)
         self.sampler.proposal.set_covariance(z["propose_cov"])
-        self.state = ChainState(
-            jnp.asarray(z["P"]), jnp.asarray(z["mloglike"]),
-            jnp.asarray(z["derived"]), jnp.asarray(z["key"]),
-            jnp.asarray(z["num_accept"]), self.sampler.proposal.mapping)
+        if hasattr(self.sampler, "state_from_arrays"):
+            # staged sampler: rebuilds the per-chain theory caches too
+            self.state = self.sampler.state_from_arrays(
+                z["P"], z["mloglike"], z["derived"], jnp.asarray(z["key"]),
+                z["num_accept"])
+        else:
+            self.state = ChainState(
+                jnp.asarray(z["P"]), jnp.asarray(z["mloglike"]),
+                jnp.asarray(z["derived"]), jnp.asarray(z["key"]),
+                jnp.asarray(z["num_accept"]), self.sampler.proposal.mapping)
         self.steps_done = int(z["steps_done"])
         self.burned_in_at = int(z["burned_in_at"])
         return True

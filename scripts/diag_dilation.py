@@ -2,11 +2,12 @@
 CAMB oracle and cross-check every length in the chain (r_s, chi_*, theta_*)
 between the thermo module and the perturbation-grid dynamics."""
 import os, sys, json
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import numpy as np
-import jax, jax.numpy as jnp
+import jax
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+import numpy as np
+import jax.numpy as jnp
 
 from cosmomc_tpu.models.background import BackgroundParams, hubble_mpc
 from cosmomc_tpu.models.cmb import compute_transfers, cls_from_transfers, source_k_grid
@@ -27,7 +28,7 @@ pp = PrimordialParams.make(logA=3.0447260, ns=0.9658923)
 yhe, tau_re = jnp.float64(0.2453985), jnp.float64(0.05430138)
 
 # --- thermo module view ---
-th = compute_thermo(bg, yhe)
+th = jax.jit(lambda b: compute_thermo(b, yhe))(bg)
 tab = compute_thermo_tables(bg, th, yhe)
 der = thermo_derived(bg, tab)
 out = {}
@@ -39,16 +40,17 @@ out["oracle"] = oracle
 
 # --- dynamics view (perturbation grid) ---
 k = source_k_grid()
-po, chi_star, tf = compute_transfers(bg, tau_re, yhe, k, return_thermo=True)
+po, chi_star, tf = jax.jit(lambda b: compute_transfers(b, tau_re, yhe, k, return_thermo=True))(bg)
 taus = np.asarray(tf.tau); vis = np.asarray(tf.vis); a_g = np.asarray(tf.a)
-ipk = int(np.argmax(vis))
+ipk = int(np.nanargmax(vis))
+print(f"# vis argmax at index {ipk}/{vis.size}, tau={taus[ipk]:.2f}", file=sys.stderr, flush=True)
 tau0 = float(po.tau0)
 tau_star_dyn = float(taus[ipk])
 z_star_dyn = 1.0/a_g[ipk] - 1.0
 # refine vis peak by quadratic fit
-i0 = ipk
+i0 = min(max(ipk, 2), vis.size - 3)
 p = np.polyfit(taus[i0-2:i0+3], vis[i0-2:i0+3], 2)
-tau_star_fit = -p[1]/(2*p[0])
+tau_star_fit = float(-p[1]/(2*p[0]))
 # sound horizon on the dynamics grid: integral c_s dtau with R from grho
 g = _grho_terms(bg, jnp.asarray(a_g))
 R = np.asarray((4.0/3.0) * g[0] / g[3])
@@ -72,8 +74,8 @@ tau_at_zstar = float(np.interp(np.log(a_star), np.asarray(lna_tab), np.asarray(t
 out["dynamics"]["DM_at_oracle_zstar"] = tau0 - tau_at_zstar
 
 # --- spectra + dilation fit ---
-spec = cls_from_transfers(po, chi_star, pp, lmax=2500)
-lensed = lens_cls(spec.ls, spec.tt, spec.te, spec.ee, spec.pp)
+spec = jax.jit(lambda p, c: cls_from_transfers(p, c, pp, lmax=2500))(po, chi_star)
+lensed = jax.jit(lambda s: lens_cls(s.ls, s.tt, s.te, s.ee, s.pp))(spec)
 REF_CL = "/root/reference/data/base_plikHM_TTTEEE_lowl_lowE.minimum.theory_cl"
 ref = np.loadtxt(REF_CL)
 L, rtt, ree = ref[:,0], ref[:,1], ref[:,3]

@@ -94,10 +94,58 @@ def test_fiducial_loglike(posterior):
     assert abs(der[dn.index("zstar")] - 1089.9) < 3.0
 
 
-@pytest.mark.skip(reason="UnexpectedTracerError under jax.grad through the "
-                  "full CMB path (bounded-posterior lax.cond); background "
-                  "path gradients are covered in test_e2e_background. "
-                  "Tracked for the HMC/NUTS work.")
+def test_staged_equals_monolithic(posterior):
+    """stage_slow/semi/fast composition == the one-shot compute_theory path
+    (the fast/slow cache split must not change the posterior value)."""
+    P = np.array([p.center for p in posterior.space.varying])
+    names = [p.name for p in posterior.space.varying]
+    for k, v in BESTFIT.items():
+        P[names.index(k)] = v
+    Pj = jnp.asarray(P)
+
+    @jax.jit
+    def both(Pj):
+        full = posterior.embed_full(Pj)
+        slow = posterior.stage_slow(full)
+        semi = posterior.stage_semi(full, slow)
+        mll_staged, der_staged = posterior.stage_fast(Pj, slow, semi)
+        mll_mono, der_mono = posterior.raw_logpost()(Pj)
+        return mll_staged, mll_mono, der_staged, der_mono
+
+    ms, mm, ds, dm = both(Pj)
+    np.testing.assert_allclose(float(ms), float(mm), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(dm), rtol=1e-10)
+
+
+def test_gradient_semi_fast(posterior):
+    """Gradient through the semi-slow + fast stages (primordial + nuisance)
+    with the slow cache held fixed — the cheap direction set that the
+    minimizer and partial-HMC need. (The full-path gradient through the
+    Boltzmann scan is exercised in the opt-in slow test below.)"""
+    P = np.array([p.center for p in posterior.space.varying])
+    names = [p.name for p in posterior.space.varying]
+    for k, v in BESTFIT.items():
+        P[names.index(k)] = v
+    Pj = jnp.asarray(P)
+    full = posterior.embed_full(Pj)
+    slow = jax.jit(posterior.stage_slow)(full)
+    slow = jax.tree_util.tree_map(jax.lax.stop_gradient, slow)
+
+    def f(p):
+        semi = posterior.stage_semi(posterior.embed_full(p), slow)
+        return posterior.stage_fast(p, slow, semi)[0]
+
+    g = jax.jit(jax.grad(f))(Pj)
+    g = np.asarray(g)
+    assert np.all(np.isfinite(g))
+    # logA/ns/A_planck must actually move the posterior
+    for nm in ("logA", "ns", "A_planck"):
+        assert abs(g[names.index(nm)]) > 0, nm
+
+
+@pytest.mark.skipif(os.environ.get("COSMOMC_SLOW_GRAD", "0") != "1",
+                    reason="full Boltzmann reverse-mode: minutes + GBs; "
+                    "opt-in via COSMOMC_SLOW_GRAD=1")
 def test_gradient_exists(posterior):
     """The whole posterior is differentiable (enables HMC/minimizer)."""
     P = np.array([p.center for p in posterior.space.varying])
