@@ -227,3 +227,53 @@ cl_noise_file = cl_noise.dat
         assert out.shape == (3,)
         assert out[0] == pytest.approx(112.29098181576978 / 2, rel=1e-9)
         assert np.all(np.isfinite(out))
+
+
+@needs_ref
+class TestBK15RealData:
+    """Full HL likelihood on the REAL BK15 dataset files (12 maps x E/B,
+    9 bins, bandpass windows) pinned against the reference python
+    CMBlikes.py chi_squared. The fork ships every BK15 file EXCEPT the
+    covariance matrix, so a deterministic diagonal covmat built from the
+    measured bandpower scales is injected identically in both
+    implementations (oracle generator: the reference python/CMBlikes.py
+    DatasetLikelihood run offline with the same files)."""
+
+    @pytest.fixture(scope="class")
+    def bk15(self, tmp_path_factory):
+        import shutil
+        src = f"{REF_DATA}/BK15"
+        d = str(tmp_path_factory.mktemp("bk15"))
+        dd = os.path.join(d, "BK15")
+        shutil.copytree(src, dd)
+        dat = np.loadtxt(f"{src}/BK15_cl_hat.dat")
+        s_b = 0.1 * np.abs(dat[:, 1:]).mean(axis=1)
+        cov = np.diag(np.repeat(s_b ** 2, 300))
+        np.savetxt(f"{dd}/BK15_covmat_dust.dat", cov, fmt="%14.8e")
+        like = CMBLikes(f"{dd}/BK15_dust.dataset")
+        L = np.arange(2, 4501).astype(float)
+        tt = 1e3 * (L / 200.0) ** -0.6 * (1 + 0.2 * np.sin(L / 90.0))
+        ee = 20.0 * (L / 500.0) ** -0.4 * (1 + 0.3 * np.sin(L / 90.0 + 1.0))
+        te = np.sign(np.sin(L / 95.0)) * np.sqrt(np.abs(tt * ee)) * 0.4
+        return like, d, L, tt, te, ee
+
+    def _cls(self, d, L, tt, te, ee, amp):
+        bb = amp * 0.05 * (L / 1000.0) ** 0.8
+        p = os.path.join(d, f"cl_{amp}.txt")
+        np.savetxt(p, np.column_stack([L, tt, te, ee, bb]), fmt="%12.6e",
+                   header="   L    TT             TE             EE        "
+                          "     BB")
+        return jnp.asarray(read_cl_text(p, 4500))
+
+    def test_hl_vs_reference_python(self, bk15):
+        like, d, L, tt, te, ee = bk15
+        assert like.nmaps == 24 and like.nbins == 9
+        cls = self._cls(d, L, tt, te, ee, 1.0)
+        got = 2 * float(like.log_like_cls(cls, jnp.zeros((0,))))
+        assert got == pytest.approx(2136251.7193756984, rel=2e-9)
+
+    def test_hl_bb_sensitivity(self, bk15):
+        like, d, L, tt, te, ee = bk15
+        cls = self._cls(d, L, tt, te, ee, 2.0)
+        got = 2 * float(like.log_like_cls(cls, jnp.zeros((0,))))
+        assert got == pytest.approx(2134943.785995634, rel=2e-9)
