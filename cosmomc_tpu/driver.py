@@ -113,6 +113,19 @@ def build_likelihoods(ini: IniFile, dtype):
             else:
                 likes.add(MPKLikelihood(path, nonlinear=nonlin, dtype=dtype))
             needs_cls = True   # MPK needs the P(k,z) theory stage
+    if ini.bool("use_SZ", False):
+        # reference: szcounts.f90 SZLikelihood_Add (use_SZ + 1D/2D +
+        # prior_* switches); data files live under the dataset dir
+        from cosmomc_tpu.likelihoods.szcounts import (SZCountsLikelihood,
+                                                      PRIOR_SWITCHES)
+        sz_dir = ini.string("sz_data_dir", required=True)
+        priors = {sw: ini.bool(sw, False) for sw in PRIOR_SWITCHES}
+        switch = 1 if ini.bool("1D", False) else 2
+        likes.add(SZCountsLikelihood(
+            sz_dir, switch=switch, priors=priors,
+            mass_function="watson" if ini.bool("use_watson", False)
+            else "tinker", dtype=dtype))
+        needs_cls = True   # SZ needs P(k) -> sigma(R) + sigma8(z)
     if ini.bool("use_HST", False):
         likes.add(HSTLikelihood.from_ini(ini))
     return likes, needs_cls
@@ -123,7 +136,8 @@ def build_posterior(ini: IniFile, dtype=None):
     (TCosmologyConfig + TSetup wiring)."""
     import jax.numpy as jnp
     from cosmomc_tpu.params.parameterizations import (
-        BackgroundParameterization, ThetaParameterization)
+        AstroParameterization, BackgroundParameterization,
+        ThetaParameterization)
     from cosmomc_tpu.pipeline import BackgroundPosterior, CMBPosterior
 
     if dtype is None:
@@ -134,6 +148,10 @@ def build_posterior(ini: IniFile, dtype=None):
         par = ThetaParameterization(dtype)
     elif kind == "background":
         par = BackgroundParameterization(dtype)
+    elif kind == "astro":
+        # LSS-only runs (CosmologyParameterizations.f90:416-527): P(k)
+        # computed, no C_l stack, no CMB likelihoods
+        par = AstroParameterization(dtype)
     else:
         raise ValueError(f"unknown parameterization {kind}")
     space = par.default_space(ini)
@@ -144,8 +162,20 @@ def build_posterior(ini: IniFile, dtype=None):
             m, s = (float(x) for x in pr.split())
             p.prior_mean, p.prior_std = m, s
     if needs_cls:
-        if kind != "theta":
-            raise ValueError("CMB likelihoods need parameterization=theta")
+        if kind == "background":
+            raise ValueError("CMB/LSS likelihoods need parameterization="
+                             "theta (or astro for LSS-only)")
+        if kind == "astro":
+            cmb_likes = [l for l in likes.likes
+                         if getattr(l, "required_lmax", lambda: 0)() > 0
+                         or l.kind == "CMB"]
+            if cmb_likes:
+                raise ValueError(
+                    f"parameterization=astro has no tau/C_l: remove CMB "
+                    f"likelihoods {[l.name for l in cmb_likes]}")
+            post = CMBPosterior(par, space, likes, use_cmb=False,
+                                matter_power=True, dtype=dtype)
+            return post
         compute_tensors = ini.bool("compute_tensors", False)
         if compute_tensors and "r" not in space:
             rspec = ini.string("param[r]")
@@ -234,6 +264,37 @@ def run_ini(path: str, overrides: Optional[Dict[str, str]] = None) -> int:
     from cosmomc_tpu.sampling.metropolis import MetropolisSampler
     from cosmomc_tpu.sampling.runner import SamplingRun, RunConfig
     nchains = ini.int("num_chains", 128)
+    # sampling_method (settings.f90:75-79): 1 = metropolis (default; the
+    # staged fast/slow variant when the posterior supports it), 8 = HMC —
+    # the gradient-based sampler the reference lacks ('hmc' also accepted)
+    method = ini.string("sampling_method", "1").strip().lower()
+    if method in ("8", "hmc"):
+        from cosmomc_tpu.sampling.hmc import HMCSampler, HMCRun
+        sampler = HMCSampler(post.logpost(),
+                             num_leapfrog=ini.int("hmc_leapfrog_steps", 16),
+                             num_derived=post.num_derived)
+        rng = np.random.default_rng(ini.int("seed", 0))
+        run = HMCRun(sampler, nchains, post.start_positions(rng, nchains),
+                     seed=ini.int("seed", 0),
+                     warmup_segments=ini.int("hmc_warmup_segments", 8),
+                     segment_steps=ini.int("segment_steps", 32),
+                     max_steps=ini.int("samples", 100_000),
+                     r_stop=ini.float("MPI_R_Stop", 0.05),
+                     step_size0=ini.float("hmc_step_size", 0.05),
+                     chain_root=file_root, feedback=feedback,
+                     paramnames=post.paramnames(), space=post.space)
+        ini.write_read_values(file_root + ".inputparams")
+        res = run.run()
+        print(f"done: {res.steps} steps, R-1 = {res.r_minus_1:.4f}, "
+              f"accept = {res.accept_rate:.3f}, stopped on {res.stopped_on}")
+        if ini.bool("write_stats", True):
+            from cosmomc_tpu.analysis.mcsamples import MCSamples
+            try:
+                s = MCSamples.load(file_root, ignore_frac=0.3)
+                s.write_all(file_root)
+            except FileNotFoundError:
+                pass
+        return 0
     prop = post.make_proposal(
         oversample_fast=ini.int("oversample_fast", 1),
         propose_scale=ini.float("propose_scale", 2.4))

@@ -292,6 +292,32 @@ def _chi_direct(bg: BackgroundParams, astar, n: int = 160):
     return jnp.sum(ws * 2.0 * xs * dtauda(bg, a))
 
 
+def conformal_time(bg: BackgroundParams, a_end, n: int = 192):
+    """tau(a_end) = int_0^a_end dtau/da da, GL in sqrt(a) (the role of
+    CAMB's TimeOfz, modules.f90)."""
+    xs, ws = gl_nodes(jnp.sqrt(1e-9), jnp.sqrt(a_end), n,
+                      dtype=jnp.asarray(a_end).dtype)
+    a = xs * xs
+    return jnp.sum(ws * 2.0 * xs * dtauda(bg, a))
+
+
+def age_gyr(bg: BackgroundParams, n: int = 192):
+    """Age of the universe in Gyr: int_0^1 a dtau/da da * Mpc/c
+    (modules.f90 DeltaPhysicalTimeGyr :559-572)."""
+    xs, ws = gl_nodes(jnp.sqrt(1e-9), 1.0, n, dtype=bg.H0.dtype)
+    a = xs * xs
+    t_mpc = jnp.sum(ws * 2.0 * xs * a * dtauda(bg, a))
+    return t_mpc * const.Mpc / const.c / const.Gyr
+
+
+def z_equality(bg: BackgroundParams):
+    """Matter-radiation equality with massive nu counted relativistic
+    (modules.f90:2951 'z_EQ (if v_nu=1)')."""
+    d = _densities(bg)
+    rad = d["ogh2"] + d["onu1"] * (d["massless_deg"] + d["massive_deg"])
+    return (bg.ombh2 + bg.omch2) / rad - 1.0
+
+
 def cosmomc_theta(bg: BackgroundParams):
     """theta_MC = r_s(z*)/D_M(z*) (modules.f90 CosmomcTheta :729-751)."""
     zstar = z_star_hu_sugiyama(bg)

@@ -35,6 +35,7 @@ class ThermoDerived(NamedTuple):
     z_drag: jnp.ndarray
     r_drag: jnp.ndarray
     tau_reion_excluded: jnp.ndarray   # kappa(0) without reionization
+    kd: jnp.ndarray          # photon diffusion damping scale k_D(z*) [1/Mpc]
 
 
 class ThermoTables(NamedTuple):
@@ -46,6 +47,7 @@ class ThermoTables(NamedTuple):
     rs: jnp.ndarray          # sound horizon r_s(z) [Mpc]
     tm: jnp.ndarray
     csq_b: jnp.ndarray       # baryon sound speed squared (units of c^2)
+    damp: jnp.ndarray        # 6/k_D^2 integral from a~0 down to z (ascending x)
 
 
 def compute_thermo_tables(bg: BackgroundParams, th: ThermoHistory,
@@ -112,7 +114,21 @@ def compute_thermo_tables(bg: BackgroundParams, th: ThermoHistory,
     csq_b = (const.k_B * tm / (mu_b * const.m_H * const.c ** 2)
              * (1.0 + dlnTm_dx / 3.0))
 
-    return ThermoTables(xa, xe, kappa, kappa_drag, rs, tm, csq_b)
+    # photon diffusion damping: 6/kD^2(z) = int_0^a(z) da'
+    #   (R^2 + 16(1+R)/15)/(1+R)^2 * dtau/da * a^2 / (xe * akthom)
+    # (modules.f90:3086-3097 ddamping_da; kD at :2948)
+    f_da = ((R ** 2 + 16.0 * (1.0 + R) / 15.0) / (1.0 + R) ** 2
+            * dtauda(bg, a) * a ** 2 / (jnp.maximum(xe, 1e-8) * akthom))
+    # da = -a dx: integral from a~0 (grid top) down to z(x)
+    cumd = cumtrapz(f_da * a)
+    # tail above the grid (z > zmax): R -> 0, xe -> xe[top]
+    aa_t = xs_ * xs_
+    damp_above = jnp.sum(ws_ * 2.0 * xs_ * (16.0 / 15.0)
+                         * dtauda(bg, aa_t) * aa_t ** 2
+                         / (xe[-1] * akthom))
+    damp = (cumd[-1] - cumd) + damp_above
+
+    return ThermoTables(xa, xe, kappa, kappa_drag, rs, tm, csq_b, damp)
 
 
 def thermo_derived(bg: BackgroundParams, tab: ThermoTables) -> ThermoDerived:
@@ -121,6 +137,8 @@ def thermo_derived(bg: BackgroundParams, tab: ThermoTables) -> ThermoDerived:
     # kappa is monotonic increasing in x; find kappa = 1
     z_star = jnp.expm1(jnp.interp(1.0, tab.kappa, x))
     z_drag = jnp.expm1(jnp.interp(1.0, tab.kappa_drag, x))
-    r_star = jnp.interp(jnp.log1p(z_star), x, tab.rs)
+    xstar = jnp.log1p(z_star)
+    r_star = jnp.interp(xstar, x, tab.rs)
     r_drag = jnp.interp(jnp.log1p(z_drag), x, tab.rs)
-    return ThermoDerived(z_star, r_star, z_drag, r_drag, tab.kappa[-1])
+    kd = jnp.sqrt(6.0 / jnp.interp(xstar, x, tab.damp))
+    return ThermoDerived(z_star, r_star, z_drag, r_drag, tab.kappa[-1], kd)

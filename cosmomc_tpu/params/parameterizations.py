@@ -86,6 +86,60 @@ class BackgroundParameterization:
             num_massive_nu=1)
 
 
+class AstroParameterization:
+    """Sampled: omegam, omegab, H0, omk, mnu, w, wa, nnu — the reference's
+    `astro` parameterization for LSS-only runs (AP_ParamArrayToTheoryParams,
+    CosmologyParameterizations.f90:448-500).
+
+    Deviations (documented): the primordial block is added by the pipeline
+    as (logA, ns) rather than sampling 10^9 As directly — a monotone
+    reparameterization; tau is carried as a fixed parameter so the thermal
+    history is well-defined (the reference zeroes it; astro runs use no
+    CMB likelihoods so it only perturbs P(k) negligibly)."""
+
+    names = ["omegam", "omegab", "H0", "omk", "mnu", "w", "wa", "nnu", "tau"]
+
+    def __init__(self, dtype=jnp.float64):
+        self.dtype = dtype
+
+    def default_space(self, ini=None) -> ParameterSpace:
+        sp = ParameterSpace()
+        specs = [
+            Param("omegam", 0.3, 0.1, 0.7, 0.02, 0.02, r"\Omega_m", Speed.SLOW),
+            Param("omegab", 0.0462, 0.03, 0.07, 0.002, 0.002,
+                  r"\Omega_b", Speed.SLOW),
+            Param("H0", 70.0, 40.0, 100.0, 2.0, 2.0, "H_0", Speed.SLOW),
+            Param("omk", 0.0, 0.0, 0.0, 0, 0, r"\Omega_K", Speed.SLOW),
+            Param("mnu", 0.06, 0.06, 0.06, 0, 0, r"\Sigma m_\nu", Speed.SLOW),
+            Param("w", -1.0, -1.0, -1.0, 0, 0, "w", Speed.SLOW),
+            Param("wa", 0.0, 0.0, 0.0, 0, 0, "w_a", Speed.SLOW),
+            Param("nnu", 3.046, 3.046, 3.046, 0, 0, "N_{eff}", Speed.SLOW),
+            Param("tau", 0.055, 0.055, 0.055, 0, 0, r"\tau", Speed.SLOW),
+        ]
+        for p in specs:
+            if ini is not None and f"param[{p.name}]" in ini:
+                parts = [float(x) for x in ini.string(f"param[{p.name}]").split()]
+                if len(parts) == 1:
+                    p = Param(p.name, parts[0], parts[0], parts[0], 0, 0,
+                              p.label, p.speed)
+                else:
+                    p = Param(p.name, *parts[:5], label=p.label, speed=p.speed)
+            sp.add(p)
+        return sp
+
+    def to_background(self, full_P: jnp.ndarray) -> BackgroundParams:
+        omegam, omegab, H0, omk, mnu, w, wa, nnu = full_P[:8]
+        h2 = (H0 / 100.0) ** 2
+        omnuh2 = mnu_to_omnuh2(mnu, nnu)
+        ombh2 = omegab * h2
+        omch2 = omegam * h2 - ombh2 - omnuh2
+        return BackgroundParams(
+            ombh2=ombh2, omch2=omch2, H0=H0, omk=omk, omnuh2=omnuh2,
+            nnu=nnu, w=w, wa=wa,
+            tcmb=jnp.asarray(const.COBE_CMBTemp, full_P.dtype),
+            num_massive_nu=1)
+
+
 class ThetaParameterization:
     """Sampled: ombh2, omch2, 100theta_MC, [tau], omk, mnu, w, wa, nnu.
 

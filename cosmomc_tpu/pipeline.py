@@ -124,11 +124,37 @@ PRIMORDIAL_PARAMS = [
     Param("ns", 0.965, 0.8, 1.2, 0.004, 0.002, "n_s", Speed.SEMISLOW),
 ]
 
+# the reference's derived-parameter zoo (TP_CalcDerivedParams,
+# CosmologyParameterizations.f90:189-272 + paramnames/params_CMB.paramnames,
+# derived_theory/derived_bbn/derived_LSS.paramnames)
 CMB_DERIVED_NAMES = [
     ("H0", "H_0"), ("omegam", r"\Omega_m"), ("omegal", r"\Omega_\Lambda"),
-    ("rdrag", r"r_{\rm drag}"), ("zstar", "z_*"), ("rstar", "r_*"),
-    ("zrei", "z_{re}"), ("yheused", "Y_P"),
+    ("omegamh2", r"\Omega_m h^2"), ("omeganuh2", r"\Omega_\nu h^2"),
+    ("omegamh3", r"\Omega_m h^3"),
+    ("zrei", "z_{re}"), ("A", "10^9 A_s"), ("clamp", r"10^9 A_s e^{-2\tau}"),
+    ("yheused", "Y_P"), ("YpBBN", r"Y_P^{\rm{BBN}}"), ("DHBBN", r"10^5D/H"),
+    ("age", r"{\rm{Age}}/{\rm{Gyr}}"),
+    ("zstar", "z_*"), ("rstar", "r_*"), ("thetastar", r"100\theta_*"),
+    ("DAstar", r"D_{\rm{M}}(z_*)/{\rm{Gpc}}"),
+    ("zdrag", r"z_{\rm{drag}}"), ("rdrag", r"r_{\rm drag}"),
+    ("rdragh", r"r_{\rm drag} h"),
+    ("kd", r"k_{\rm D}"), ("thetad", r"100\theta_{\rm{D}}"),
+    ("zeq", r"z_{\rm{eq}}"), ("keq", r"k_{\rm{eq}}"),
+    ("thetaeq", r"100\theta_{\rm{eq}}"),
+    ("thetarseq", r"100\theta_{\rm{s,eq}}"),
 ]
+
+CMB_DERIVED_MP_NAMES = [
+    ("sigma8", r"\sigma_8"), ("S8", "S_8"),
+    ("s8omegamp5", r"\sigma_8 \Omega_m^{0.5}"),
+    ("s8omegamp25", r"\sigma_8 \Omega_m^{0.25}"),
+    ("s8h5", r"\sigma_8/h^{0.5}"),
+]
+
+
+def _ztag(z: float) -> str:
+    """0.38 -> '038', 2.33 -> '233' (derived_LSS.paramnames convention)."""
+    return f"{z:g}".replace(".", "")
 
 
 @dataclass
@@ -152,9 +178,21 @@ class CMBPosterior:
     lmax: int = 2508
     kmax: float = 0.5
     lens_margin: int = 150                   # compute to lmax+margin, lens to lmax
+    #: compute the Boltzmann C_l only to this l and fill (lmax_computed,
+    #: lmax] with the fiducial lensed template normalized off TT at the
+    #: boundary (Calculator_CAMB.f90:398-401 + LoadFiducialHighLTemplate).
+    #: 0 = compute everything (no splice).
+    lmax_computed: int = 0
+    highl_template: str = ""                 # HighL_lensedCls.dat path
     matter_power: bool = False
     z_pk: Tuple[float, ...] = (0.0, 0.2, 0.38, 0.51, 0.61, 1.0, 2.0)
+    #: background/LSS derived-output redshifts (CosmoSettings%z_outputs,
+    #: batch3/common.ini 'derived_parameters' redshifts)
+    z_outputs: Tuple[float, ...] = (0.38, 0.51, 0.61)
     n_step_boltzmann: int = 0                # 0 = module default
+    #: False = LSS-only run (astro parameterization): skip the C_l stack,
+    #: compute only background + thermal history + matter power
+    use_cmb: bool = True
     compute_tensors: bool = False            # r -> tensor TT/TE/EE/BB
     inflation_consistency: bool = True       # nt = -r/8
     dtype: object = jnp.float64
@@ -174,34 +212,64 @@ class CMBPosterior:
         self._full_template = np.array([p.center for p in self.space.params])
         self._i_logA = self.space.index("logA")
         self._i_ns = self.space.index("ns")
+        self._i_tau = self.space.index("tau")
+        # high-L lensed template for the splice (l, TT, EE, BB, TE in
+        # l(l+1)C_l/2pi muK^2 — CAMB lensedCls column order)
+        self._highl = None
+        if 0 < self.lmax_computed < self.lmax:
+            if not self.highl_template:
+                raise ValueError("lmax_computed < lmax needs highl_template")
+            raw = np.loadtxt(self.highl_template)
+            tmpl = np.zeros((self.lmax + 1, 4))
+            ls = raw[:, 0].astype(int)
+            keep = ls <= self.lmax
+            tmpl[ls[keep]] = raw[keep, 1:5]
+            if tmpl[2, 0] < 100:
+                raise ValueError("highl template must be in muK^2")
+            if ls.max() < self.lmax:
+                raise ValueError("highl template does not reach lmax")
+            self._highl = tmpl
         self._i_r = self.space.index("r") if self.compute_tensors else None
-        all_derived = list(CMB_DERIVED_NAMES)
-        if self.matter_power:
-            all_derived.append(("sigma8", r"\sigma_8"))
-        sampled = {p.name for p in self.space.params}
-        self._derived_keep = [i for i, (n, _) in enumerate(all_derived)
-                              if n not in sampled]
-        self.derived_names = [all_derived[i] for i in self._derived_keep]
-        self.num_derived = len(self.derived_names)
         if self.bbn_table is None:
             from cosmomc_tpu.models.bbn import load_bbn_table
             self.bbn_table = load_bbn_table()
         # requirements aggregation across likelihoods (the role of
         # Initialize_CMBSettings / Initialize_PKSettings unions,
-        # CosmologyTypes.f90:248-411)
+        # CosmologyTypes.f90:248-411).  Runs BEFORE the derived-name list
+        # is frozen so a matter_power auto-enable keeps sigma8 in the
+        # derived outputs.  A likelihood lmax need RAISES the computed
+        # lmax (Initialize_CMBSettings takes the union, not an error).
         zmax_req = 0.0
         for like in self.likes.likes:
             need = getattr(like, "required_lmax", lambda: 0)()
             if need > self.lmax:
-                raise ValueError(f"{like.name} needs lmax {need} > {self.lmax}")
+                self.lmax = int(need)
             if getattr(like, "needs_matter_power", False):
                 self.matter_power = True
+            if getattr(like, "required_kmax", 0.0) > self.kmax:
+                self.kmax = float(like.required_kmax)
             zmax_req = max(zmax_req, getattr(like, "required_zmax", 0.0))
         if zmax_req > max(self.z_pk):
             # dense log(1+z) grid to the union max (PK interpolation grid)
             extra = np.expm1(np.linspace(
                 np.log1p(max(self.z_pk)), np.log1p(zmax_req * 1.02), 24))[1:]
             self.z_pk = tuple(self.z_pk) + tuple(float(z) for z in extra)
+        all_derived = list(CMB_DERIVED_NAMES)
+        for z in self.z_outputs:
+            t = _ztag(z)
+            all_derived += [(f"Hubble{t}", f"H({z:g})"),
+                            (f"DM{t}", f"D_{{\\rm{{M}}}}({z:g})")]
+        if self.matter_power:
+            all_derived += list(CMB_DERIVED_MP_NAMES)
+            for z in self.z_outputs:
+                t = _ztag(z)
+                all_derived += [(f"fsigma8z{t}", f"f\\sigma_8({z:g})"),
+                                (f"sigma8z{t}", f"\\sigma_8({z:g})")]
+        sampled = {p.name for p in self.space.params}
+        self._derived_keep = [i for i, (n, _) in enumerate(all_derived)
+                              if n not in sampled]
+        self.derived_names = [all_derived[i] for i in self._derived_keep]
+        self.num_derived = len(self.derived_names)
 
     def embed_full(self, varying: jnp.ndarray) -> jnp.ndarray:
         full = jnp.asarray(self._full_template, varying.dtype)
@@ -239,17 +307,20 @@ class CMBPosterior:
                                                thermo_derived)
 
         bg = self.parameterization.to_background(full_P)
-        tau_re = full_P[3]
+        tau_re = full_P[self._i_tau]
         yhe = yhe_bbn(bg.ombh2, bg.nnu - 3.046, self.bbn_table)
 
-        lmax_c = self.lmax + self.lens_margin
-        k = source_k_grid(kmax=self.kmax)
-        po, chi_star, tf = compute_transfers(bg, tau_re, yhe, k,
-                                             return_thermo=True)
-        clt = compute_cl_transfers(po, chi_star, lmax=lmax_c,
-                                   kmax_hint=self.kmax)
+        if self.use_cmb:
+            lmax_c = (self.lmax_computed or self.lmax) + self.lens_margin
+            k = source_k_grid(kmax=self.kmax)
+            po, chi_star, tf = compute_transfers(bg, tau_re, yhe, k,
+                                                 return_thermo=True)
+            clt = compute_cl_transfers(po, chi_star, lmax=lmax_c,
+                                       kmax_hint=self.kmax)
+        else:
+            clt = None
 
-        if self.compute_tensors:
+        if self.compute_tensors and self.use_cmb:
             from cosmomc_tpu.models.tensors import (evolve_tensors,
                                                     tensor_k_grid,
                                                     compute_tensor_transfers)
@@ -271,9 +342,25 @@ class CMBPosterior:
         else:
             mt = None
 
+        # derived-zoo scalars that only need the slow stage
+        # (TP_CalcDerivedParams + ThermoDerivedParams, modules.f90:2935-2956)
+        dm_star = bgm.comoving_radial_distance(bf, der.z_star)
+        z_eq = bgm.z_equality(bg)
+        a_eq = 1.0 / (1.0 + z_eq)
+        tau_eq = bgm.conformal_time(bg, a_eq)
+        rs_eq = jnp.interp(jnp.log1p(z_eq), tabs.x, tabs.rs)
+        from cosmomc_tpu.models.bbn import dh_bbn
         return dict(bg=bg, yhe=yhe, clt=clt, tt_cache=tt_cache, bf=bf,
                     mt=mt, rs_drag=der.r_drag, z_star=der.z_star,
-                    r_star=der.r_star, zre=zre_from_tau(bg, tau_re, yhe))
+                    r_star=der.r_star, zre=zre_from_tau(bg, tau_re, yhe),
+                    tau=tau_re, z_drag=der.z_drag, kd=der.kd,
+                    dm_star=dm_star, z_eq=z_eq,
+                    keq=a_eq * bgm.hubble_mpc(bg, a_eq),
+                    thetaeq=100.0 * tau_eq / dm_star,
+                    thetarseq=100.0 * rs_eq / dm_star,
+                    age=bgm.age_gyr(bg),
+                    dhbbn=1e5 * dh_bbn(bg.ombh2, bg.nnu - 3.046,
+                                       self.bbn_table))
 
     def stage_semi(self, full_P: jnp.ndarray, slow: dict) -> dict:
         """Primordial-power application: C_l stack (+tensors), lensing,
@@ -282,23 +369,43 @@ class CMBPosterior:
         from cosmomc_tpu.models.lensing import lens_cls
 
         pp = self._primordial(full_P)
-        lmax_c = self.lmax + self.lens_margin
+        if not self.use_cmb:
+            A9 = jnp.exp(full_P[self._i_logA]) / 10.0
+            mp = None
+            if self.matter_power:
+                from cosmomc_tpu.models.matterpower import \
+                    matter_power_from_transfers
+                mp = matter_power_from_transfers(slow["bg"], pp, slow["mt"])
+            return dict(cls=None, mp=mp, A9=A9)
+        lm = self.lmax_computed or self.lmax    # computed cap
+        lmax_c = lm + self.lens_margin
         raw = cls_from_cl_transfers(slow["clt"], pp, lmax=lmax_c)
         muk2 = (2.7255e6) ** 2
         spec_tt = raw.tt * muk2
         spec_te = raw.te * muk2
         spec_ee = raw.ee * muk2
         lensed = lens_cls(raw.ls, spec_tt, spec_te, spec_ee, raw.pp,
-                          lmax_lensed=self.lmax)
+                          lmax_lensed=lm)
         nl = self.lmax + 1
         cls = jnp.zeros((4, 4, nl), self.dtype)
-        sl = slice(2, self.lmax + 1)
+        sl = slice(2, lm + 1)
         cls = cls.at[0, 0, sl].set(lensed.tt)
         cls = cls.at[1, 0, sl].set(lensed.te)
         cls = cls.at[0, 1, sl].set(lensed.te)
         cls = cls.at[1, 1, sl].set(lensed.ee)
         cls = cls.at[2, 2, sl].set(lensed.bb)
-        cls = cls.at[3, 3, sl].set(raw.pp[:self.lmax - 1])
+        cls = cls.at[3, 3, sl].set(raw.pp[:lm - 1])
+        if self._highl is not None:
+            # splice: fill (lm, lmax] with the fiducial lensed template
+            # normalized off TT at the boundary (Calculator_CAMB.f90:398-401)
+            tmpl = jnp.asarray(self._highl, self.dtype)
+            norm = cls[0, 0, lm] / tmpl[lm, 0]
+            hi = slice(lm + 1, self.lmax + 1)
+            cls = cls.at[0, 0, hi].set(norm * tmpl[lm + 1:, 0])
+            cls = cls.at[1, 1, hi].set(norm * tmpl[lm + 1:, 1])
+            cls = cls.at[2, 2, hi].set(norm * tmpl[lm + 1:, 2])
+            cls = cls.at[1, 0, hi].set(norm * tmpl[lm + 1:, 3])
+            cls = cls.at[0, 1, hi].set(norm * tmpl[lm + 1:, 3])
 
         if self.compute_tensors:
             from cosmomc_tpu.models.tensors import tensor_cls_from_transfers
@@ -312,11 +419,12 @@ class CMBPosterior:
             cls = cls.at[1, 1, slt].add(muk2 * tens.ee[:nlt])
             cls = cls.at[2, 2, slt].add(muk2 * tens.bb[:nlt])
 
+        A9 = jnp.exp(full_P[self._i_logA]) / 10.0   # 10^9 A_s
         if self.matter_power:
             from cosmomc_tpu.models.matterpower import matter_power_from_transfers
             mp = matter_power_from_transfers(slow["bg"], pp, slow["mt"])
-            return dict(cls=cls, mp=mp)
-        return dict(cls=cls, mp=None)
+            return dict(cls=cls, mp=mp, A9=A9)
+        return dict(cls=cls, mp=None, A9=A9)
 
     def assemble_theory(self, slow: dict, semi: dict):
         """Build the CMBTheoryProducts pytree from the two caches."""
@@ -343,16 +451,38 @@ class CMBPosterior:
         """FAST stage: likelihoods + derived from the cached theory —
         nuisance-only moves pay exactly this (CalcLike_Cosmology.f90's
         'else fast-only' branch)."""
+        from cosmomc_tpu.models import background as bgm_mod
         theory, ex = self.assemble_theory(slow, semi)
         total, _per = self.likes.total_log_like(theory, P, self.slices)
         bg = theory.bg
-        h2 = (bg.H0 / 100.0) ** 2
-        omm = (bg.ombh2 + bg.omch2 + bg.omnuh2) / h2
-        der = [bg.H0 * jnp.ones(()), omm, 1.0 - bg.omk - omm,
-               theory.rs_drag, ex["z_star"], ex["r_star"], ex["zre"],
-               ex["yhe"]]
+        h = bg.H0 / 100.0
+        omm = (bg.ombh2 + bg.omch2 + bg.omnuh2) / h ** 2
+        one = jnp.ones(())
+        A9 = semi["A9"]
+        yhe = slow["yhe"]
+        # nucleon-ratio Yp (bbn.f90:37 GetYPBBN; m_He/m_H = 3.9715)
+        mr = 3.9715
+        ypbbn = 4.0 * yhe / (mr - yhe * (mr - 4.0))
+        der = [bg.H0 * one, omm, 1.0 - bg.omk - omm,
+               omm * h ** 2, bg.omnuh2 * one, omm * h ** 3,
+               slow["zre"], A9, A9 * jnp.exp(-2.0 * slow["tau"]),
+               yhe, ypbbn, slow["dhbbn"], slow["age"],
+               slow["z_star"], slow["r_star"],
+               100.0 * slow["r_star"] / slow["dm_star"],
+               slow["dm_star"] / 1000.0,
+               slow["z_drag"], theory.rs_drag, theory.rs_drag * h,
+               slow["kd"], 100.0 * jnp.pi / slow["kd"] / slow["dm_star"],
+               slow["z_eq"], slow["keq"], slow["thetaeq"],
+               slow["thetarseq"]]
+        for z in self.z_outputs:
+            der += [bgm_mod.hofz_kms(bg, z),
+                    bgm_mod.comoving_radial_distance(slow["bf"], z)]
         if self.matter_power:
-            der.append(theory.sigma8_z[0])
+            s8 = theory.sigma8_z[0]
+            der += [s8, s8 * jnp.sqrt(omm / 0.3), s8 * jnp.sqrt(omm),
+                    s8 * omm ** 0.25, s8 / jnp.sqrt(h)]
+            for z in self.z_outputs:
+                der += [theory.fsigma8_at(z), theory.sigma8_at(z)]
         der = jnp.stack([jnp.asarray(d, P.dtype) for d in der])
         return total, der[jnp.asarray(self._derived_keep, jnp.int32)]
 

@@ -92,6 +92,25 @@ def test_fiducial_loglike(posterior):
     assert abs(der[dn.index("rdrag")] - 147.09) < 1.0
     assert abs(der[dn.index("yheused")] - 0.2454) < 0.001
     assert abs(der[dn.index("zstar")] - 1089.9) < 3.0
+    # derived-parameter zoo vs the reference's own best-fit file
+    # (/root/reference/data/base_plikHM_TTTEEE_lowl_lowE.minimum rows 83-113)
+    assert abs(der[dn.index("age")] - 13.7973) < 0.03
+    assert abs(der[dn.index("zdrag")] - 1059.97) < 3.0
+    assert abs(der[dn.index("thetastar")] - 1.041097) < 0.005
+    assert abs(der[dn.index("DAstar")] - 13.8699) < 0.08
+    assert abs(der[dn.index("kd")] - 0.140910) < 0.003
+    assert abs(der[dn.index("thetad")] - 0.160744) < 0.003
+    assert abs(der[dn.index("zeq")] - 3404.86) < 25.0
+    assert abs(der[dn.index("keq")] - 0.0103920) < 1e-4
+    assert abs(der[dn.index("thetaeq")] - 0.812842) < 0.008
+    assert abs(der[dn.index("thetarseq")] - 0.449139) < 0.005
+    assert abs(der[dn.index("rdragh")] - 99.00) < 0.8
+    assert abs(der[dn.index("YpBBN")] - 0.246725) < 0.001
+    assert abs(der[dn.index("DHBBN")] - 2.5841) < 0.08
+    assert abs(der[dn.index("clamp")] - 1.884266) < 0.02
+    # Hubble/DM at z_outputs present
+    assert abs(der[dn.index("Hubble038")] - 82.8476) < 0.4
+    assert abs(der[dn.index("DM038")] - 1534.04) < 8.0
 
 
 def test_staged_equals_monolithic(posterior):
