@@ -139,10 +139,11 @@ def compute_cl_transfers(po: PerturbationOutput, chi_star, lmax: int = 2500,
         jpp = -2.0 * jp / xs + (l * (l + 1) / (xs * xs) - 1.0) * jl
         dT = jnp.sum(S0w * jl + S1w * jp + S2w * jpp, axis=1)   # (nkf,)
         efac = jnp.sqrt(jnp.maximum((l + 2) * (l + 1) * l * (l - 1), 0.0))
-        # E transfer: sqrt((l+2)!/(l-2)!) int (3/16) g Pi j_l/x^2
-        # (S2 carries (3/4) g Pi -> extra 1/4; normalization validated
-        # against the reference CAMB EE spectra)
-        dE = 0.25 * efac * jnp.sum(S2w * jl / (xs * xs), axis=1)
+        # E transfer: sqrt((l+2)!/(l-2)!) int (3/4) g Pi j_l/x^2 — the
+        # canonical ZS97 scalar E source, with Pi in temperature units
+        # (S2 = (3/4) g Pi exactly; the former 0.25 fudge was absorbing the
+        # brightness->temperature conversion now done in perturbations.py)
+        dE = efac * jnp.sum(S2w * jl / (xs * xs), axis=1)
         # lensing potential: phi_l(k) = -2 int dtau W(chi) Psi_W j_l with
         # Psi_W = (phi+psi)/2; SL carries e^-kappa (phi+psi) = 2 Psi_W, so
         # the factor-2 is already inside SL (sign drops in the auto-power)

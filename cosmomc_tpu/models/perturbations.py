@@ -525,7 +525,15 @@ def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
         so = source_opts or {}
         theta0_N = y[_I_DG] / 4.0 - so.get("mono_gauge", 1.0) * aux["adotoa"] * alpha
         vb_N = (y[_I_TB] + so.get("vb_gauge", 1.0) * k2 * alpha) / kk
-        Pi = aux["pol_term"]
+        # pol_term = F_2 + G_0 + G_2 is in MB95 BRIGHTNESS units (F_0 =
+        # delta_gamma = 4 Theta_0); the canonical source formulas take the
+        # TEMPERATURE-unit polarization Pi = (F_2+G_0+G_2)/4 — same /4 as
+        # the monopole dg/4 above. Validated against the reference CAMB
+        # source assembly (equations_ppf.f90:1531): CAMB's EE/TT
+        # polarization-source ratio is (15/8)/(5/8) = 3, which this
+        # normalization reproduces (r4 fix: removed a 1.6% TT-only acoustic
+        # dilation caused by the 4x-too-strong TT Pi terms).
+        Pi = aux["pol_term"] / 4.0
         s0 = (vis * (theta0_N + so.get("psi_in_s0", 1.0) * psi + Pi / 4.0)
               + so.get("isw", 1.0) * expmk * (phidot + psidot))
         s1 = so.get("doppler", 1.0) * vis * vb_N

@@ -81,8 +81,10 @@ def test_fiducial_loglike(posterior):
     print(f"-logL = {mll:.2f}, chi2/nbins = {chi2_per_bin:.2f}")
     assert np.isfinite(mll)
     # Pinned gate (ratchet DOWN as accuracy improves; history:
-    #   r2: theory ~2-6% off CAMB -> chi2/bin huge but must stay < 2000)
-    assert mll < 613 * 1000, f"-logL blew up: {mll}"
+    #   r2: theory ~2-6% off CAMB -> chi2/bin huge but must stay < 2000
+    #   r4: TT source Pi-normalization fix -> -logL = 294.95, chi2/bin 0.96
+    #       (theory error at/below Planck-like per-bin noise); gate at 2x)
+    assert mll < 613, f"-logL regressed: {mll} (r4 measured 294.95)"
 
     # derived vector sanity: H0 ~ 67.3, omegam ~ 0.316, rdrag ~ 147
     der = np.asarray(derived)
