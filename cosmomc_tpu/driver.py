@@ -187,8 +187,22 @@ def build_posterior(ini: IniFile, dtype=None):
                 else:
                     space.add(Param("r", *parts[:5], label="r",
                                     speed=Speed.SEMISLOW))
+        # reference key semantics (CosmologyTypes.f90:41-42,197,302):
+        # `lmax` is the full output range (here: the default raised by the
+        # likelihood requirements union); `lmax_computed_cl` caps the actual
+        # Boltzmann compute, and (lmax_computed_cl, lmax] is filled from the
+        # fiducial lensed template `highL_theory_cl_template`
+        # (Calculator_CAMB.f90:387-401,890)
+        lmax_computed = ini.int("lmax_computed_cl", 0)   # 0 = compute all
+        tmpl = ini.string("highL_theory_cl_template", "")
+        if lmax_computed and not tmpl:
+            data_dir = os.environ.get("COSMOMC_DATA", "/root/reference/data")
+            cand = os.path.join(data_dir, "HighL_lensedCls.dat")
+            tmpl = cand if os.path.isfile(cand) else ""
         post = CMBPosterior(par, space, likes,
-                            lmax=ini.int("lmax_computed_cl", 2508),
+                            lmax=ini.int("lmax", 2508),
+                            lmax_computed=lmax_computed,
+                            highl_template=tmpl,
                             matter_power=ini.bool("use_matter_power", False),
                             compute_tensors=compute_tensors,
                             dtype=dtype)
@@ -295,8 +309,12 @@ def run_ini(path: str, overrides: Optional[Dict[str, str]] = None) -> int:
             except FileNotFoundError:
                 pass
         return 0
+    staged = hasattr(post, "stage_slow") and ini.bool("use_fast_slow", True)
+    # staged runs default to oversample_fast=4: fast nuisance proposals are
+    # nearly free against the cached theory, so inflate their share
+    # (reference batch3 practice, propose.f90:261-272)
     prop = post.make_proposal(
-        oversample_fast=ini.int("oversample_fast", 1),
+        oversample_fast=ini.int("oversample_fast", 4 if staged else 1),
         propose_scale=ini.float("propose_scale", 2.4))
     pm = ini.string("propose_matrix")
     if pm:
@@ -305,7 +323,7 @@ def run_ini(path: str, overrides: Optional[Dict[str, str]] = None) -> int:
     else:
         w = np.array([p.propose_width for p in post.space.varying])
         prop.set_covariance(np.diag(w ** 2))
-    if hasattr(post, "stage_slow") and ini.bool("use_fast_slow", True):
+    if staged:
         # CMB posterior: staged sampler exploits the fast/slow recompute
         # split (CalcLike_Cosmology.f90:59-94) — nuisance/primordial moves
         # reuse cached transfers instead of re-running the Boltzmann solve
@@ -323,12 +341,14 @@ def run_ini(path: str, overrides: Optional[Dict[str, str]] = None) -> int:
         r_stop=ini.float("MPI_R_Stop", 0.05),
         max_r_propose_update=ini.float("MPI_Max_R_ProposeUpdate", 2.0),
         seed=ini.int("seed", 0),
+        num_devices=ini.int("num_devices", 0),
     )
     rng = np.random.default_rng(cfg.seed)
     run = SamplingRun(sampler, cfg,
                       post.start_positions(rng, nchains),
                       chain_root=file_root, feedback=feedback,
-                      paramnames=post.paramnames(), space=post.space)
+                      paramnames=post.paramnames(), space=post.space,
+                      dtype=post.dtype)
     if ini.bool("checkpoint", True):
         run.resume()
     ini.write_read_values(file_root + ".inputparams")

@@ -81,77 +81,333 @@ def compute_cls(po: PerturbationOutput, pp: PrimordialParams,
 
 def compute_cl_transfers(po: PerturbationOutput, chi_star, lmax: int = 2500,
                          tau0_hint: float = 14200.0, kmax_hint: float = 0.6,
-                         points_per_osc: float = 4.0) -> ClTransferCache:
+                         points_per_osc: float = 4.0, k_chunk: int = 256,
+                         l_batch: int = 4) -> ClTransferCache:
     """SLOW stage: source x Bessel time integration -> Delta_l(k).
     `chi_star` is the comoving distance to recombination (for the lensing
     kernel). tau0_hint/kmax_hint bound the static table sizes (actual
-    tau0/k are traced values)."""
+    tau0/k are traced values).
+
+    TPU shape: the (nkf ~ 4500) x (ntau ~ 8192) working plane is far too
+    large to materialize per chain (the un-chunked form holds ~600 MB of
+    fine-grid sources plus 37M-element Bessel gathers, which both OOMs
+    under chain-vmap and kernel-faults the axon backend). The integral is
+    computed in k-chunks x l-batches with a bounded working set: an outer
+    `lax.map` walks k-chunks (source interpolation happens per chunk), an
+    inner `lax.map` walks batches of sampled l's with a vmapped Bessel
+    gather-and-contract. Results are bit-identical in structure to the
+    monolithic form (same quadrature, same tables)."""
     dtype = po.s0.dtype
     ls = default_l_samples(lmax)
-    kf = jnp.asarray(fine_k_grid(tau0_hint, kmax_hint, points_per_osc), dtype)
-    tab = build_bessel_table(tuple(int(l) for l in ls),
+    nl = len(ls)
+    kf_np = fine_k_grid(tau0_hint, kmax_hint, points_per_osc)
+    nkf = len(kf_np)
+
+    # pad k to a chunk multiple (pad lanes repeat the last k; their
+    # quadrature weights are zero so they contribute nothing)
+    npad_k = (-nkf) % k_chunk
+    kf_pad = np.concatenate([kf_np, np.full(npad_k, kf_np[-1])])
+    n_chunks = len(kf_pad) // k_chunk
+    # pad l to a batch multiple (duplicates of the last l, sliced off)
+    npad_l = (-nl) % l_batch
+    ls_pad = np.concatenate([ls, np.full(npad_l, ls[-1])]).astype(int)
+    n_lb = len(ls_pad) // l_batch
+
+    tab = build_bessel_table(tuple(int(l) for l in ls_pad),
                              kmax_hint * tau0_hint * 1.02 + 10)
 
-    # interpolate sources from coarse k to fine k (linear; sources smooth)
     lnk_coarse = jnp.log(po.k)
-    lnkf = jnp.log(kf)
+    taus = po.tau
+    tau0 = po.tau0
+    dt = jnp.diff(taus)
+    wt = jnp.concatenate([dt[:1] / 2, (dt[1:] + dt[:-1]) / 2, dt[-1:] / 2])
+    chi = jnp.maximum(tau0 - taus, 1e-6)
+    # lensing kernel (flat): (chi* - chi)/(chi* chi), zero past chi*
+    lens_w = jnp.where(chi < chi_star, (chi_star - chi) / (chi_star * chi), 0.0)
 
-    def k_interp(S):       # (nk, ntau) -> (nkf, ntau)
-        return jax.vmap(lambda col: jnp.interp(lnkf, lnk_coarse, col),
-                        in_axes=1, out_axes=1)(S)
+    dlnk = np.diff(np.log(kf_np))
+    wk = np.zeros(len(kf_pad))
+    wk[:nkf] = np.concatenate([dlnk[:1] / 2, (dlnk[1:] + dlnk[:-1]) / 2,
+                               dlnk[-1:] / 2])
 
-    S0 = k_interp(po.s0)
-    S1 = k_interp(po.s1)
-    S2 = k_interp(po.s2)
-    SL = k_interp(po.slens)
+    jl_tab = jnp.asarray(tab.jl, dtype)        # (nl_pad, nx)
+    jlp_tab = jnp.asarray(tab.jlp, dtype)
+    inv_dx = jnp.asarray(1.0 / tab.dx, dtype)
+    ls_f = jnp.asarray(tab.ls).astype(dtype)   # (nl_pad,)
+    kc_all = jnp.asarray(kf_pad.reshape(n_chunks, k_chunk), dtype)
+
+    # coarse-k -> fine-k interpolation indices/weights: BOTH grids are
+    # static, so precompute on host (avoids a runtime searchsorted per
+    # element — the axon backend lowers searchsorted serially)
+    # po.k is traced under jit/vmap, but the source k grid is always the
+    # static module grid source_k_grid(kmax=kmax_hint); rebuild host-side
+    # and fall back to traced interp if the shapes disagree
+    nk_coarse = po.k.shape[0]
+    from cosmomc_tpu.models.cmb import source_k_grid as _skg
+    idx_np = None
+    trial_grid = _skg(kmax=kmax_hint)
+    if len(trial_grid) == nk_coarse:
+        lg = np.log(trial_grid)
+        t = np.interp(np.log(kf_pad), lg, np.arange(nk_coarse))
+        idx_np = np.clip(t.astype(np.int64), 0, nk_coarse - 2)
+        frac_np = t - idx_np
+    if idx_np is not None:
+        k_idx = jnp.asarray(idx_np.reshape(n_chunks, k_chunk))
+        k_frac = jnp.asarray(frac_np.reshape(n_chunks, k_chunk), dtype)
+    else:
+        k_idx = jnp.zeros((n_chunks, k_chunk), jnp.int32)
+        k_frac = jnp.zeros((n_chunks, k_chunk), dtype)
+
+    use_static = idx_np is not None
+
+    # ONE flat lax.map over (k-chunk, l-batch) pairs. The axon TPU backend
+    # kernel-faults on nested scans with gather-heavy bodies (empirically
+    # bisected: a single chunk with the inner l-loop runs, an outer
+    # lax.map over chunks around it faults), so the two loops are flattened
+    # into a single scan; the source interpolation is recomputed per pair
+    # (n_lb-fold redundancy, ~2x the jl-gather traffic — cheap next to
+    # nesting that does not run at all).
+    n_pairs = n_chunks * n_lb
+    ci_flat = jnp.repeat(jnp.arange(n_chunks), n_lb)
+    ib_flat = jnp.tile(jnp.arange(n_lb), n_chunks)
+
+    def do_pair(args):
+        ci, ib = args
+        kc = kc_all[ci]                        # (k_chunk,)
+        kidx = k_idx[ci]
+        kfrac = k_frac[ci]
+        if not use_static:
+            lnkc = jnp.log(kc)
+
+            def k_interp(S):                   # (nk, ntau) -> (k_chunk, ntau)
+                return jax.vmap(lambda col: jnp.interp(lnkc, lnk_coarse, col),
+                                in_axes=1, out_axes=1)(S)
+        else:
+            def k_interp(S):
+                lo = S[kidx]                   # (k_chunk, ntau)
+                hi = S[kidx + 1]
+                return lo + (hi - lo) * kfrac[:, None]
+
+        S0w = k_interp(po.s0) * wt
+        S1w = k_interp(po.s1) * wt
+        S2w = k_interp(po.s2) * wt
+        SLw = k_interp(po.slens) * (wt * lens_w)
+        x = kc[:, None] * (tau0 - taus)[None, :]   # (k_chunk, ntau)
+        t = x * inv_dx
+        i = jnp.clip(t.astype(jnp.int32), 0, jl_tab.shape[1] - 2)
+        f = t - i.astype(dtype)
+        xs = jnp.maximum(x, 1e-8)
+        inv_xs = 1.0 / xs
+        inv_xs2 = inv_xs * inv_xs
+        ils = ib * l_batch + jnp.arange(l_batch)
+
+        def one_l(il):
+            l = ls_f[il]
+            jl = jl_tab[il, i] * (1 - f) + jl_tab[il, i + 1] * f
+            jp = jlp_tab[il, i] * (1 - f) + jlp_tab[il, i + 1] * f
+            jpp = -2.0 * jp * inv_xs + (l * (l + 1) * inv_xs2 - 1.0) * jl
+            dT = jnp.sum(S0w * jl + S1w * jp + S2w * jpp, axis=1)
+            efac = jnp.sqrt(jnp.maximum(
+                (l + 2) * (l + 1) * l * (l - 1), 0.0))
+            # E transfer: sqrt((l+2)!/(l-2)!) int (3/4) g Pi j_l/x^2 —
+            # the canonical ZS97 scalar E source, Pi in temperature
+            # units (S2 = (3/4) g Pi exactly)
+            dE = efac * jnp.sum(S2w * jl * inv_xs2, axis=1)
+            # lensing potential: phi_l(k) = -2 int dtau W(chi) Psi_W j_l
+            # with Psi_W = (phi+psi)/2; SL carries e^-kappa (phi+psi)
+            # = 2 Psi_W (sign drops in the auto-power)
+            dP = jnp.sum(SLw * jl, axis=1)
+            return dT, dE, dP                  # each (k_chunk,)
+
+        return jax.vmap(one_l)(ils)            # (l_batch, k_chunk) x3
+
+    dT, dE, dP = jax.lax.map(do_pair, (ci_flat, ib_flat))
+    # shapes: (n_pairs, l_batch, k_chunk) with pair index = ci * n_lb + ib
+
+    def collect(A):
+        A = A.reshape(n_chunks, n_lb, l_batch, k_chunk)
+        A = jnp.transpose(A, (1, 2, 0, 3)).reshape(len(ls_pad), len(kf_pad))
+        return A[:nl, :nkf]
+
+    return ClTransferCache(jnp.asarray(ls, dtype),
+                           jnp.asarray(kf_np, dtype),
+                           jnp.asarray(wk[:nkf], dtype),
+                           collect(dT), collect(dE), collect(dP))
+
+
+def compute_cl_transfers_recurrence(po: PerturbationOutput, chi_star,
+                                    lmax: int = 2500,
+                                    tau0_hint: float = 14200.0,
+                                    kmax_hint: float = 0.6,
+                                    points_per_osc: float = 4.0,
+                                    k_chunk: int = 512,
+                                    unroll: int = 16) -> ClTransferCache:
+    """SLOW stage, gather-free variant for the TPU backend.
+
+    The table-lookup form (`compute_cl_transfers`) is gather-bound: ~40M
+    random Bessel-table lookups per l-batch, which the axon TPU backend
+    executes ~100x below memory speed and which pushes one execution past
+    the backend's ~60 s watchdog (empirically bisected; see
+    scripts/probe_scanlen_tpu.py). This variant never gathers: spherical
+    Bessel functions are generated in-register by the upward recurrence
+
+        j_{l+1}(x) = ((2l+1)/x) j_l(x) - j_{l-1}(x)
+
+    which is numerically stable in the oscillatory region x > l and is
+    clamped to zero below the Airy turning region (x < nu - 2.5 nu^{1/3},
+    nu = l+1/2) before the growing-solution contamination can amplify
+    (error ~ e^{2/3 (2 delta)^{3/2}/sqrt(nu)} ~ e^7.5 x f32 eps at the cut,
+    where the true j_l is already e^{-7} of its peak — a <~0.1% effect on
+    C_l, validated against the table path in tests/test_cls.py).
+
+    One flat `lax.scan` walks (k-chunk, l-superstep) pairs chunk-major;
+    the carry holds the two-term recurrence state per chunk and the
+    accumulating Delta_l(k) buffers. Every op is an elementwise FMA or a
+    row-take — the patterns the TPU VPU runs at memory speed.
+
+    Same contract as compute_cl_transfers: a ClTransferCache on the
+    sampled-l grid (reference: cmbmain.f90 SourceToTransfers + lvalues).
+    """
+    dtype = po.s0.dtype
+    ls = default_l_samples(lmax)
+    nl = len(ls)
+    kf_np = fine_k_grid(tau0_hint, kmax_hint, points_per_osc)
+    nkf = len(kf_np)
+    npad_k = (-nkf) % k_chunk
+    kf_pad = np.concatenate([kf_np, np.full(npad_k, kf_np[-1])])
+    nkf_pad = len(kf_pad)
+    n_chunks = nkf_pad // k_chunk
+
+    # l supersteps: l = 2 .. lmax walked `unroll` at a time
+    n_sup = int(np.ceil((lmax - 1) / unroll))
+    # sampled-l lookup tables (host-built, static)
+    is_samp_np = np.zeros(lmax + unroll + 3, np.float32)
+    slot_np = np.zeros(lmax + unroll + 3, np.int32)
+    for s, l in enumerate(ls):
+        is_samp_np[l] = 1.0
+        slot_np[l] = s
+    is_samp = jnp.asarray(is_samp_np, dtype)
+    slot_tab = jnp.asarray(slot_np)
+
+    # static coarse->fine interpolation indices (see compute_cl_transfers)
+    from cosmomc_tpu.models.cmb import source_k_grid as _skg
+    grid = _skg(kmax=kmax_hint)
+    if len(grid) != po.k.shape[0]:
+        # non-default source grid: fall back to the table path
+        return compute_cl_transfers(po, chi_star, lmax=lmax,
+                                    tau0_hint=tau0_hint, kmax_hint=kmax_hint,
+                                    points_per_osc=points_per_osc)
+    tpos = np.interp(np.log(kf_pad), np.log(grid), np.arange(len(grid)))
+    idx_np = np.clip(tpos.astype(np.int64), 0, len(grid) - 2)
+    frac_np = tpos - idx_np
+    k_idx = jnp.asarray(idx_np.reshape(n_chunks, k_chunk))
+    k_frac = jnp.asarray(frac_np.reshape(n_chunks, k_chunk), dtype)
+    kc_all = jnp.asarray(kf_pad.reshape(n_chunks, k_chunk), dtype)
+
+    dlnk = np.diff(np.log(kf_np))
+    wk = np.zeros(nkf_pad)
+    wk[:nkf] = np.concatenate([dlnk[:1] / 2, (dlnk[1:] + dlnk[:-1]) / 2,
+                               dlnk[-1:] / 2])
 
     taus = po.tau
     tau0 = po.tau0
     dt = jnp.diff(taus)
     wt = jnp.concatenate([dt[:1] / 2, (dt[1:] + dt[:-1]) / 2, dt[-1:] / 2])
     chi = jnp.maximum(tau0 - taus, 1e-6)
-    x = kf[:, None] * (tau0 - taus)[None, :]        # (nkf, ntau)
-
-    # lensing kernel (flat): (chi* - chi)/(chi* chi), zero past chi*
     lens_w = jnp.where(chi < chi_star, (chi_star - chi) / (chi_star * chi), 0.0)
 
-    dlnk = jnp.diff(jnp.log(kf))
-    wk = jnp.concatenate([dlnk[:1] / 2, (dlnk[1:] + dlnk[:-1]) / 2,
-                          dlnk[-1:] / 2]).astype(dtype)
+    ci_flat = jnp.repeat(jnp.arange(n_chunks), n_sup)
+    ib_flat = jnp.tile(jnp.arange(n_sup), n_chunks)
 
-    jl_tab = jnp.asarray(tab.jl, dtype)
-    jlp_tab = jnp.asarray(tab.jlp, dtype)
-    inv_dx = 1.0 / tab.dx
+    zero_state = jnp.zeros((k_chunk, taus.shape[0]), dtype)
+    buf0 = jnp.zeros((nl, nkf_pad), dtype)
 
-    S0w = S0 * wt
-    S1w = S1 * wt
-    S2w = S2 * wt
-    SLw = SL * (wt * lens_w)
+    def step(carry, args):
+        jm1, jl, dT, dE, dP = carry
+        ci, ib = args
+        kc = kc_all[ci]
+        kidx = k_idx[ci]
+        kfrac = k_frac[ci]
 
-    def one_l(il):
-        l = jnp.asarray(tab.ls)[il].astype(dtype)
-        t = x * inv_dx
-        i = jnp.clip(t.astype(jnp.int32), 0, jl_tab.shape[1] - 2)
-        f = t - i.astype(dtype)
-        jl = jl_tab[il, i] * (1 - f) + jl_tab[il, i + 1] * f
-        jp = jlp_tab[il, i] * (1 - f) + jlp_tab[il, i + 1] * f
-        xs = jnp.maximum(x, 1e-8)
-        jpp = -2.0 * jp / xs + (l * (l + 1) / (xs * xs) - 1.0) * jl
-        dT = jnp.sum(S0w * jl + S1w * jp + S2w * jpp, axis=1)   # (nkf,)
-        efac = jnp.sqrt(jnp.maximum((l + 2) * (l + 1) * l * (l - 1), 0.0))
-        # E transfer: sqrt((l+2)!/(l-2)!) int (3/4) g Pi j_l/x^2 — the
-        # canonical ZS97 scalar E source, with Pi in temperature units
-        # (S2 = (3/4) g Pi exactly; the former 0.25 fudge was absorbing the
-        # brightness->temperature conversion now done in perturbations.py)
-        dE = efac * jnp.sum(S2w * jl / (xs * xs), axis=1)
-        # lensing potential: phi_l(k) = -2 int dtau W(chi) Psi_W j_l with
-        # Psi_W = (phi+psi)/2; SL carries e^-kappa (phi+psi) = 2 Psi_W, so
-        # the factor-2 is already inside SL (sign drops in the auto-power)
-        dP = jnp.sum(SLw * jl, axis=1)
-        return dT, dE, dP
+        def k_interp(S):
+            lo = S[kidx]
+            hi = S[kidx + 1]
+            return lo + (hi - lo) * kfrac[:, None]
 
-    dT, dE, dP = jax.lax.map(one_l, jnp.arange(len(ls)))
-    return ClTransferCache(jnp.asarray(ls, dtype), kf, wk, dT, dE, dP)
+        S0w = k_interp(po.s0) * wt
+        S1w = k_interp(po.s1) * wt
+        S2w = k_interp(po.s2) * wt
+        SLw = k_interp(po.slens) * (wt * lens_w)
+        x = kc[:, None] * (tau0 - taus)[None, :]
+        xs = jnp.maximum(x, 1e-6)
+        inv_x = 1.0 / xs
+        inv_x2 = inv_x * inv_x
+        lnx = jnp.log(xs)
+        y2 = 0.5 * x * x                      # series variable x^2/2
+        sx = jnp.sin(x)
+        cx = jnp.cos(x)
+        small = x < 1e-3
+        j0 = jnp.where(small, 1.0 - x * x / 6.0, sx * inv_x)
+        j1 = jnp.where(small, x / 3.0, sx * inv_x2 - cx * inv_x)
+        # chunk start (ib == 0): reset the recurrence at (j_0, j_1)
+        fresh = (ib == 0)
+        jm1 = jnp.where(fresh, j0, jm1)
+        jl = jnp.where(fresh, j1, jl)
+
+        from jax.scipy.special import gammaln
+        l0 = 2 + ib * unroll
+        for u in range(unroll):
+            l = l0 + u                                   # traced scalar
+            lf = l.astype(dtype)
+            nu = lf + 0.5
+            cut = jnp.maximum(nu - 2.5 * jnp.cbrt(nu), 0.0)
+            jnew = ((2.0 * lf - 1.0) * inv_x) * jl - jm1
+            # small-x series overwrite: in the deep region x^2 < l+1 the
+            # recurrence amplifies roundoff by ((2l+1)/x)^2 per step; the
+            # 3-term ascending series j_l = x^l/(2l+1)!! (1 - y/(2l+3)
+            # + y^2/(2(2l+3)(2l+5))), y = x^2/2, is ~1e-4-accurate there
+            # and caps the state error. (2l+1)!! = (2l+1)!/(2^l l!).
+            lndf = (gammaln(2.0 * lf + 2.0) - lf * np.log(2.0)
+                    - gammaln(lf + 1.0))
+            poly = (1.0 - y2 / (2.0 * lf + 3.0)
+                    + y2 * y2 / (2.0 * (2.0 * lf + 3.0) * (2.0 * lf + 5.0)))
+            ser = jnp.exp(lf * lnx - lndf) * poly
+            jnew = jnp.where(x * x < lf + 1.0, ser, jnew)
+            # Airy-region cutoff: below the turning point the true j_l is
+            # exponentially small and upward recurrence is unstable — zero
+            # it (the series region at large l underflows to 0 consistently)
+            jnew = jnp.where(x > cut, jnew, 0.0)
+            jm1, jl = jl, jnew                           # state now at l
+            jp = jm1 - (lf + 1.0) * inv_x * jl
+            jpp = -2.0 * jp * inv_x + (lf * (lf + 1.0) * inv_x2 - 1.0) * jl
+            vT = jnp.sum(S0w * jl + S1w * jp + S2w * jpp, axis=1)
+            efac = jnp.sqrt(jnp.maximum(
+                (lf + 2.0) * (lf + 1.0) * lf * (lf - 1.0), 0.0))
+            vE = efac * jnp.sum(S2w * jl * inv_x2, axis=1)
+            vP = jnp.sum(SLw * jl, axis=1)
+            m = is_samp[l]
+            sl = slot_tab[l]
+            off = (ci * k_chunk).astype(sl.dtype)
+            for buf_name, v in (("T", vT), ("E", vE), ("P", vP)):
+                buf = {"T": dT, "E": dE, "P": dP}[buf_name]
+                row = jax.lax.dynamic_slice(buf, (sl, off), (1, k_chunk))
+                buf = jax.lax.dynamic_update_slice(
+                    buf, row + m * v[None, :], (sl, off))
+                if buf_name == "T":
+                    dT = buf
+                elif buf_name == "E":
+                    dE = buf
+                else:
+                    dP = buf
+        return (jm1, jl, dT, dE, dP), 0
+
+    (jm1, jl, dT, dE, dP), _ = jax.lax.scan(
+        step, (zero_state, zero_state, buf0, buf0, buf0), (ci_flat, ib_flat))
+
+    return ClTransferCache(jnp.asarray(ls, dtype),
+                           jnp.asarray(kf_np, dtype),
+                           jnp.asarray(wk[:nkf], dtype),
+                           dT[:, :nkf], dE[:, :nkf], dP[:, :nkf])
 
 
 def cls_from_cl_transfers(cache: ClTransferCache, pp: PrimordialParams,

@@ -48,12 +48,17 @@ class CMBTheory(NamedTuple):
 def compute_transfers(bg: BackgroundParams, tau_reion, yhe,
                       k: np.ndarray | jnp.ndarray,
                       z_outputs: Tuple[float, ...] = (0.0,),
-                      return_thermo: bool = False):
+                      return_thermo: bool = False,
+                      n_step: int = 0):
     """Slow stage: thermal history + Boltzmann evolution (the analog of
     CAMB_GetTransfers). Returns (transfers, chi_star); with
     `return_thermo`, also the ThermoFuncs tables (so the tensor stage can
-    share the same thermal history, camb.f90 CAMB_GetResults tensor pass)."""
-    tf, tau0 = build_thermo_funcs(bg, yhe, tau_reion)
+    share the same thermal history, camb.f90 CAMB_GetResults tensor pass).
+    n_step = 0 uses the module-default tau grid length."""
+    if n_step:
+        tf, tau0 = build_thermo_funcs(bg, yhe, tau_reion, n_step=n_step)
+    else:
+        tf, tau0 = build_thermo_funcs(bg, yhe, tau_reion)
     po = evolve_perturbations(bg, tf, tau0, jnp.asarray(k), z_outputs)
     # chi_star: distance to the visibility peak
     ipk = jnp.argmax(tf.vis)

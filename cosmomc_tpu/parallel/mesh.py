@@ -34,6 +34,9 @@ def chain_mesh(n_devices: int | None = None) -> Mesh:
     the ICI-contiguous device order jax.devices() already provides."""
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(f"chain_mesh: {n_devices} devices requested "
+                             f"but only {len(devs)} available")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (CHAIN_AXIS,))
 

@@ -190,6 +190,15 @@ class CMBPosterior:
     #: batch3/common.ini 'derived_parameters' redshifts)
     z_outputs: Tuple[float, ...] = (0.38, 0.51, 0.61)
     n_step_boltzmann: int = 0                # 0 = module default
+    #: (nk_log, nk_lin) override for the source k grid — smaller grids for
+    #: cheap smoke/dryrun configs; None = module default
+    source_nk: Optional[Tuple[int, int]] = None
+    #: LOS integration method: "table" (Bessel-table gathers — fastest on
+    #: CPU, exact f64 reference), "recurrence" (gather-free upward l-
+    #: recurrence — the TPU path; the axon backend executes large gathers
+    #: ~100x below memory speed and kills >60s kernels), or "auto" (pick
+    #: by jax.default_backend() at first trace)
+    los_method: str = "auto"
     #: False = LSS-only run (astro parameterization): skip the C_l stack,
     #: compute only background + thermal history + matter power
     use_cmb: bool = True
@@ -213,22 +222,6 @@ class CMBPosterior:
         self._i_logA = self.space.index("logA")
         self._i_ns = self.space.index("ns")
         self._i_tau = self.space.index("tau")
-        # high-L lensed template for the splice (l, TT, EE, BB, TE in
-        # l(l+1)C_l/2pi muK^2 — CAMB lensedCls column order)
-        self._highl = None
-        if 0 < self.lmax_computed < self.lmax:
-            if not self.highl_template:
-                raise ValueError("lmax_computed < lmax needs highl_template")
-            raw = np.loadtxt(self.highl_template)
-            tmpl = np.zeros((self.lmax + 1, 4))
-            ls = raw[:, 0].astype(int)
-            keep = ls <= self.lmax
-            tmpl[ls[keep]] = raw[keep, 1:5]
-            if tmpl[2, 0] < 100:
-                raise ValueError("highl template must be in muK^2")
-            if ls.max() < self.lmax:
-                raise ValueError("highl template does not reach lmax")
-            self._highl = tmpl
         self._i_r = self.space.index("r") if self.compute_tensors else None
         if self.bbn_table is None:
             from cosmomc_tpu.models.bbn import load_bbn_table
@@ -254,6 +247,28 @@ class CMBPosterior:
             extra = np.expm1(np.linspace(
                 np.log1p(max(self.z_pk)), np.log1p(zmax_req * 1.02), 24))[1:]
             self.z_pk = tuple(self.z_pk) + tuple(float(z) for z in extra)
+        # high-L lensed template for the splice (l, TT, EE, BB, TE in
+        # l(l+1)C_l/2pi muK^2 — CAMB lensedCls column order). Built AFTER
+        # the requirements union so the template covers the final lmax;
+        # reference semantics: lmax_computed_cl = min(lmax, lmax_computed_cl)
+        # and the splice only engages when the cap is below lmax
+        # (CosmologyTypes.f90:302, Calculator_CAMB.f90:387-401).
+        self._highl = None
+        if self.lmax_computed >= self.lmax:
+            self.lmax_computed = 0          # cap above need: no splice
+        if 0 < self.lmax_computed < self.lmax:
+            if not self.highl_template:
+                raise ValueError("lmax_computed < lmax needs highl_template")
+            raw = np.loadtxt(self.highl_template)
+            tmpl = np.zeros((self.lmax + 1, 4))
+            ls = raw[:, 0].astype(int)
+            keep = ls <= self.lmax
+            tmpl[ls[keep]] = raw[keep, 1:5]
+            if tmpl[2, 0] < 100:
+                raise ValueError("highl template must be in muK^2")
+            if ls.max() < self.lmax:
+                raise ValueError("highl template does not reach lmax")
+            self._highl = tmpl
         all_derived = list(CMB_DERIVED_NAMES)
         for z in self.z_outputs:
             t = _ztag(z)
@@ -312,11 +327,28 @@ class CMBPosterior:
 
         if self.use_cmb:
             lmax_c = (self.lmax_computed or self.lmax) + self.lens_margin
-            k = source_k_grid(kmax=self.kmax)
+            if self.source_nk is not None:
+                k = source_k_grid(kmax=self.kmax, nk_log=self.source_nk[0],
+                                  nk_lin=self.source_nk[1])
+            else:
+                k = source_k_grid(kmax=self.kmax)
             po, chi_star, tf = compute_transfers(bg, tau_re, yhe, k,
-                                                 return_thermo=True)
-            clt = compute_cl_transfers(po, chi_star, lmax=lmax_c,
-                                       kmax_hint=self.kmax)
+                                                 return_thermo=True,
+                                                 n_step=self.n_step_boltzmann)
+            method = self.los_method
+            if method == "auto":
+                import jax
+                method = ("recurrence" if jax.default_backend()
+                          not in ("cpu",) else "table")
+            if method == "recurrence":
+                from cosmomc_tpu.models.cls import \
+                    compute_cl_transfers_recurrence
+                clt = compute_cl_transfers_recurrence(po, chi_star,
+                                                      lmax=lmax_c,
+                                                      kmax_hint=self.kmax)
+            else:
+                clt = compute_cl_transfers(po, chi_star, lmax=lmax_c,
+                                           kmax_hint=self.kmax)
         else:
             clt = None
 

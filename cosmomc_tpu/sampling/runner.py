@@ -48,6 +48,11 @@ class RunConfig:
     learn_propose: bool = True
     checkpoint_freq_segments: int = 10
     seed: int = 0
+    #: shard chains over the first `num_devices` devices (0/1 = single
+    #: device). The chain axis is the data-parallel mesh axis; the compiled
+    #: segment runs SPMD with jit-propagated shardings (the reference's
+    #: one-rank-per-chain MPI layout, SampleCollector.f90:248-251).
+    num_devices: int = 0
 
 
 @dataclass
@@ -65,13 +70,24 @@ class RunResult:
 class SamplingRun:
     def __init__(self, sampler: MetropolisSampler, cfg: RunConfig,
                  start_P: np.ndarray, chain_root: Optional[str] = None,
-                 feedback: int = 1, paramnames=None, space=None):
+                 feedback: int = 1, paramnames=None, space=None,
+                 dtype=jnp.float32):
         self.sampler = sampler
         self.cfg = cfg
         self.feedback = feedback
         self.rng = np.random.default_rng(cfg.seed + 1)
         key = jax.random.PRNGKey(cfg.seed)
-        self.state = sampler.init_state(key, jnp.asarray(start_P, jnp.float32))
+        self.mesh = None
+        if cfg.num_devices and cfg.num_devices > 1:
+            from cosmomc_tpu.parallel.mesh import chain_mesh
+            if cfg.nchains % cfg.num_devices:
+                raise ValueError(f"nchains={cfg.nchains} not divisible by "
+                                 f"num_devices={cfg.num_devices}")
+            self.mesh = chain_mesh(cfg.num_devices)
+        self.state = sampler.init_state(key, jnp.asarray(start_P, dtype))
+        if self.mesh is not None:
+            from cosmomc_tpu.parallel.mesh import shard_chains
+            self.state = shard_chains(self.state, self.mesh, cfg.nchains)
         self.writer = ChainWriter(chain_root, cfg.nchains) if chain_root else None
         self.chain_root = chain_root
         # GetDist sidecars (reference driver.F90:209-216 writes .paramnames/
@@ -87,6 +103,11 @@ class SamplingRun:
         self.burned_in_at = -1
         self.r_current = np.inf
         self._read_mtime = 0.0               # runtime-control file freshness
+        # slow/semi/fast step counters (the reference's perf stats,
+        # CalcLike_Cosmology.f90:96-102 slow_changes/semislow_changes)
+        self.class_steps = np.zeros(3, np.int64)
+        self._log = (open(chain_root + ".log", "a", buffering=1)
+                     if chain_root else None)
 
     # ---------- main loop ----------
 
@@ -97,6 +118,11 @@ class SamplingRun:
         seg_i = 0
         while self.steps_done < cfg.max_steps:
             sched = self.sampler.proposal.make_schedule(cfg.segment_steps, self.rng)
+            if hasattr(self.sampler, "block_class"):
+                cls = self.sampler.block_class[np.asarray(sched.block)]
+                np.add.at(self.class_steps, cls, 1)
+            else:
+                self.class_steps[0] += cfg.segment_steps
             self.state, out = self.sampler.run_segment(self.state, sched)
             acc = np.asarray(out.accept)
             P = np.asarray(out.P)
@@ -112,10 +138,18 @@ class SamplingRun:
                     self.writer.add_segment(acc, P, mll, der)
                 r = self._update_convergence_and_proposal()
                 self._write_converge_stat(done=False)
-                if self.feedback > 0 and seg_i % 4 == 0:
+                if seg_i % 4 == 0:
                     ar = float(np.asarray(self.state.num_accept).mean()) / self.steps_done
-                    print(f"[{self.steps_done:>8d} steps] R-1 = {r:.4f}  "
-                          f"acc = {ar:.3f}", flush=True)
+                    cs = self.class_steps
+                    line = (f"[{self.steps_done:>8d} steps] R-1 = {r:.4f}  "
+                            f"acc = {ar:.3f}  "
+                            f"slow/semi/fast = {cs[0]}/{cs[1]}/{cs[2]}")
+                    if self.feedback > 0:
+                        print(line, flush=True)
+                    if self._log is not None:
+                        # the reference's per-chain .log (MCMC.f90:299-304);
+                        # lockstep vmapped chains share one log
+                        self._log.write(line + "\n")
                 if r < cfg.r_stop:
                     stopped_on = "converged"
                     break
@@ -128,6 +162,9 @@ class SamplingRun:
         if self.writer is not None:
             self.writer.close()
             self.checkpoint()
+        if self._log is not None:
+            self._log.close()
+            self._log = None
         self._write_converge_stat(done=stopped_on == "converged")
         means, cov = self._pooled_moments()
         ar = float(np.asarray(self.state.num_accept).mean()) / max(self.steps_done, 1)
@@ -271,4 +308,7 @@ class SamplingRun:
                 jnp.asarray(z["num_accept"]), self.sampler.proposal.mapping)
         self.steps_done = int(z["steps_done"])
         self.burned_in_at = int(z["burned_in_at"])
+        if self.mesh is not None:
+            from cosmomc_tpu.parallel.mesh import shard_chains
+            self.state = shard_chains(self.state, self.mesh, self.cfg.nchains)
         return True

@@ -101,3 +101,27 @@ param[omegam] = 0.31 0.2 0.4 0.01 0.01
     om = post.space.get("omegam")
     assert om.center == pytest.approx(0.31)
     assert om.min == pytest.approx(0.2)
+
+
+@needs_data
+def test_action0_sharded_num_devices(tmp_path):
+    """The product path runs sharded: `num_devices` ini key builds a chain
+    mesh and SamplingRun shards the chain state over it (the reference's
+    one-rank-per-chain MPI layout, SampleCollector.f90:248-251)."""
+    path = _write_ini(tmp_path, """action = 0
+num_chains = 32
+segment_steps = 64
+samples = 512
+MPI_R_Stop = 0.0
+feedback = 0
+num_devices = 8
+""")
+    rc = run_ini(path)
+    assert rc == 0
+    root = f"{tmp_path}/chains/test"
+    dat = np.loadtxt(root + "_1.txt")
+    assert dat.shape[1] >= 4
+    # perf-counter log exists (MCMC.f90:299-304 .log analog)
+    assert os.path.isfile(root + ".log")
+    txt = open(root + ".log").read()
+    assert "slow/semi/fast" in txt
