@@ -284,6 +284,17 @@ def run_ini(path: str, overrides: Optional[Dict[str, str]] = None) -> int:
     method = ini.string("sampling_method", "1").strip().lower()
     if method in ("8", "hmc"):
         from cosmomc_tpu.sampling.hmc import HMCSampler, HMCRun
+        if hasattr(post, "stage_slow") and post.use_cmb and \
+                not ini.bool("hmc_allow_full_boltzmann", False):
+            # reverse-mode through the full Boltzmann scan needs
+            # O(n_step x nk x nvar) residuals per chain (GBs) — refuse by
+            # default rather than OOM mid-run; small-lmax or gradient-
+            # subset configs can opt in explicitly
+            raise ValueError(
+                "sampling_method=hmc on a full-CMB posterior differentiates "
+                "through the Boltzmann scan (multi-GB reverse pass). Set "
+                "hmc_allow_full_boltzmann = T to proceed anyway (small "
+                "lmax/kmax configs), or use the staged Metropolis sampler.")
         sampler = HMCSampler(post.logpost(),
                              num_leapfrog=ini.int("hmc_leapfrog_steps", 16),
                              num_derived=post.num_derived)
@@ -342,6 +353,12 @@ def run_ini(path: str, overrides: Optional[Dict[str, str]] = None) -> int:
         max_r_propose_update=ini.float("MPI_Max_R_ProposeUpdate", 2.0),
         seed=ini.int("seed", 0),
         num_devices=ini.int("num_devices", 0),
+        # confidence-limit convergence (SampleCollector.f90:477-544;
+        # reference keys MPI_Check_Limit_Converge / MPI_Limit_Converge /
+        # MPI_Limit_Converge_Err)
+        limits_tol=(ini.float("MPI_Limit_Converge_Err", 0.2)
+                    if ini.bool("MPI_Check_Limit_Converge", False) else 0.0),
+        limit_frac=ini.float("MPI_Limit_Converge", 0.025),
     )
     rng = np.random.default_rng(cfg.seed)
     run = SamplingRun(sampler, cfg,

@@ -82,7 +82,9 @@ def compute_cls(po: PerturbationOutput, pp: PrimordialParams,
 def compute_cl_transfers(po: PerturbationOutput, chi_star, lmax: int = 2500,
                          tau0_hint: float = 14200.0, kmax_hint: float = 0.6,
                          points_per_osc: float = 4.0, k_chunk: int = 256,
-                         l_batch: int = 4) -> ClTransferCache:
+                         l_batch: int = 4,
+                         coarse_k: np.ndarray | None = None
+                         ) -> ClTransferCache:
     """SLOW stage: source x Bessel time integration -> Delta_l(k).
     `chi_star` is the comoving distance to recombination (for the lensing
     kernel). tau0_hint/kmax_hint bound the static table sizes (actual
@@ -136,18 +138,16 @@ def compute_cl_transfers(po: PerturbationOutput, chi_star, lmax: int = 2500,
     ls_f = jnp.asarray(tab.ls).astype(dtype)   # (nl_pad,)
     kc_all = jnp.asarray(kf_pad.reshape(n_chunks, k_chunk), dtype)
 
-    # coarse-k -> fine-k interpolation indices/weights: BOTH grids are
-    # static, so precompute on host (avoids a runtime searchsorted per
-    # element — the axon backend lowers searchsorted serially)
-    # po.k is traced under jit/vmap, but the source k grid is always the
-    # static module grid source_k_grid(kmax=kmax_hint); rebuild host-side
-    # and fall back to traced interp if the shapes disagree
+    # coarse-k -> fine-k interpolation indices/weights: when the caller
+    # provides the concrete (host) coarse grid, precompute the indices
+    # host-side (avoids a runtime searchsorted per element — the axon
+    # backend lowers searchsorted serially). po.k is traced under jit, so
+    # the grid VALUES cannot be recovered from it — callers that evolve on
+    # a non-default grid must pass `coarse_k` or get the traced fallback.
     nk_coarse = po.k.shape[0]
-    from cosmomc_tpu.models.cmb import source_k_grid as _skg
     idx_np = None
-    trial_grid = _skg(kmax=kmax_hint)
-    if len(trial_grid) == nk_coarse:
-        lg = np.log(trial_grid)
+    if coarse_k is not None and len(coarse_k) == nk_coarse:
+        lg = np.log(np.asarray(coarse_k))
         t = np.interp(np.log(kf_pad), lg, np.arange(nk_coarse))
         idx_np = np.clip(t.astype(np.int64), 0, nk_coarse - 2)
         frac_np = t - idx_np
@@ -241,7 +241,9 @@ def compute_cl_transfers_recurrence(po: PerturbationOutput, chi_star,
                                     kmax_hint: float = 0.6,
                                     points_per_osc: float = 4.0,
                                     k_chunk: int = 512,
-                                    unroll: int = 16) -> ClTransferCache:
+                                    unroll: int = 16,
+                                    coarse_k: np.ndarray | None = None
+                                    ) -> ClTransferCache:
     """SLOW stage, gather-free variant for the TPU backend.
 
     The table-lookup form (`compute_cl_transfers`) is gather-bound: ~40M
@@ -289,14 +291,16 @@ def compute_cl_transfers_recurrence(po: PerturbationOutput, chi_star,
     is_samp = jnp.asarray(is_samp_np, dtype)
     slot_tab = jnp.asarray(slot_np)
 
-    # static coarse->fine interpolation indices (see compute_cl_transfers)
-    from cosmomc_tpu.models.cmb import source_k_grid as _skg
-    grid = _skg(kmax=kmax_hint)
-    if len(grid) != po.k.shape[0]:
-        # non-default source grid: fall back to the table path
+    # static coarse->fine interpolation indices (see compute_cl_transfers):
+    # the recurrence path REQUIRES the concrete coarse grid (its whole point
+    # is zero runtime gathers/searchsorteds); without it, fall back to the
+    # table path with traced interpolation
+    if coarse_k is None or len(coarse_k) != po.k.shape[0]:
         return compute_cl_transfers(po, chi_star, lmax=lmax,
                                     tau0_hint=tau0_hint, kmax_hint=kmax_hint,
-                                    points_per_osc=points_per_osc)
+                                    points_per_osc=points_per_osc,
+                                    coarse_k=coarse_k)
+    grid = np.asarray(coarse_k)
     tpos = np.interp(np.log(kf_pad), np.log(grid), np.arange(len(grid)))
     idx_np = np.clip(tpos.astype(np.int64), 0, len(grid) - 2)
     frac_np = tpos - idx_np
@@ -367,7 +371,9 @@ def compute_cl_transfers_recurrence(po: PerturbationOutput, chi_star,
             # 3-term ascending series j_l = x^l/(2l+1)!! (1 - y/(2l+3)
             # + y^2/(2(2l+3)(2l+5))), y = x^2/2, is ~1e-4-accurate there
             # and caps the state error. (2l+1)!! = (2l+1)!/(2^l l!).
-            lndf = (gammaln(2.0 * lf + 2.0) - lf * np.log(2.0)
+            # ln 2 as a python float (an np scalar would promote the whole
+            # chain to f64 under enable_x64)
+            lndf = (gammaln(2.0 * lf + 2.0) - lf * 0.6931471805599453
                     - gammaln(lf + 1.0))
             poly = (1.0 - y2 / (2.0 * lf + 3.0)
                     + y2 * y2 / (2.0 * (2.0 * lf + 3.0) * (2.0 * lf + 5.0)))

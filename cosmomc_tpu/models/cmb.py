@@ -49,17 +49,21 @@ def compute_transfers(bg: BackgroundParams, tau_reion, yhe,
                       k: np.ndarray | jnp.ndarray,
                       z_outputs: Tuple[float, ...] = (0.0,),
                       return_thermo: bool = False,
-                      n_step: int = 0):
+                      n_step: int = 0,
+                      massive_nu: bool = False,
+                      de_perts: bool = False):
     """Slow stage: thermal history + Boltzmann evolution (the analog of
     CAMB_GetTransfers). Returns (transfers, chi_star); with
     `return_thermo`, also the ThermoFuncs tables (so the tensor stage can
     share the same thermal history, camb.f90 CAMB_GetResults tensor pass).
-    n_step = 0 uses the module-default tau grid length."""
+    n_step = 0 uses the module-default tau grid length; massive_nu/de_perts
+    enable the extended perturbation sectors (perturbations.make_rhs)."""
     if n_step:
         tf, tau0 = build_thermo_funcs(bg, yhe, tau_reion, n_step=n_step)
     else:
         tf, tau0 = build_thermo_funcs(bg, yhe, tau_reion)
-    po = evolve_perturbations(bg, tf, tau0, jnp.asarray(k), z_outputs)
+    po = evolve_perturbations(bg, tf, tau0, jnp.asarray(k), z_outputs,
+                              massive_nu=massive_nu, de_perts=de_perts)
     # chi_star: distance to the visibility peak
     ipk = jnp.argmax(tf.vis)
     chi_star = tau0 - tf.tau[ipk]

@@ -48,6 +48,29 @@ def _legendre_step(carry, x):
     return (l + 1, pmmp1, P), P
 
 
+def _jacobi_advance(s, a, b, x, Jm1, J):
+    """P^{(a,b)}_s(x) from carried (P_{s-2}, P_{s-1}) = (Jm1, J).
+
+    Upward Jacobi recurrence — the stable (dominant-solution) direction on
+    |x| < 1. Used to build the high-spin Wigner-d functions as
+    [exact sin/cos(theta/2) prefactor] x [Jacobi value]: the classical
+    closed forms in (P_l, P_l') cancel catastrophically at small theta
+    (even in f64 they are wrong by ~1e9 at theta ~ 1e-3 before the Taylor
+    patch; in f32 the corruption band is so wide that lensed EE came out
+    ~50x high). `s` is a traced scalar."""
+    n = jnp.asarray(s, x.dtype)
+    apb = a + b
+    c1 = 2.0 * n * (n + apb) * (2.0 * n + apb - 2.0)
+    c2 = (2.0 * n + apb - 1.0) * (a * a - b * b)
+    c3 = (2.0 * n + apb - 1.0) * (2.0 * n + apb) * (2.0 * n + apb - 2.0)
+    c4 = 2.0 * (n + a - 1.0) * (n + b - 1.0) * (2.0 * n + apb)
+    rec = ((c2 + c3 * x) * J - c4 * Jm1) / jnp.where(c1 == 0.0, 1.0, c1)
+    p1 = (a + 1.0) + (apb + 2.0) * (x - 1.0) / 2.0
+    return jnp.where(n < 0.0, 0.0,
+                     jnp.where(n == 0.0, 1.0,
+                               jnp.where(n == 1.0, p1, rec)))
+
+
 def lens_cls(ls, tt, te, ee, pp, lmax_lensed: int | None = None,
              n_theta: int | None = None, apodize: bool = True,
              delta_only: bool = False) -> LensedCls:
@@ -114,9 +137,14 @@ def lens_cls(ls, tt, te, ee, pp, lmax_lensed: int | None = None,
 
     Cg2sq = Cg2 ** 2
 
+    sin2half = fac1 / 2.0       # sin^2(theta/2)
+    cos2half = fac2 / 2.0       # cos^2(theta/2)
+
     # ---- pass 2: lensed-correlation deltas xi_1..4(theta) ----
-    def wigner_set(l, P, Pm1):
-        """All needed d^l_mm'(theta) from P_l (=P), P_{l-1} (=Pm1)."""
+    def wigner_set(l, P, Pm1, J40, J44, J80):
+        """All needed d^l_mm'(theta) from P_l (=P), P_{l-1} (=Pm1) and the
+        stable Jacobi values J40 = P^{(4,0)}_{l-2}, J44 = P^{(4,4)}_{l-4},
+        J80 = P^{(8,0)}_{l-4} (see _jacobi_advance)."""
         llp1 = l * (l + 1.0)
         lfacs2 = (l + 2.0) * (l - 1.0)
         lrootfacs = jnp.sqrt(llp1 * lfacs2)
@@ -129,13 +157,9 @@ def lens_cls(ls, tt, te, ee, pp, lmax_lensed: int | None = None,
         dm11 = fac2 * dP / llp1 - P
         d22 = (((4.0 * x - 8.0) / fac2 + llp1) * P
                + 4.0 * fac * (fac2 + (x - 2.0) / llp1) * dP) / lfacs2
-        # small-theta Taylor for d_2m2 (stability; lensing.f90:300-307)
-        theta_cut = 0.244949 / jnp.sqrt(3.0 * llp1 - 8.0)
-        d2m2_direct = ((llp1 - (4.0 * x + 8.0) / fac1) * P
-                       + 4.0 / fac * (-fac1 + (x + 2.0) / llp1) * dP) / lfacs2
-        d2m2_taylor = llp1 * lfacs2 * theta ** 4 \
-            * (1.0 / 384.0 - (3.0 * llp1 - 8.0) / 23040.0 * theta ** 2)
-        d2m2 = jnp.where(theta > theta_cut, d2m2_direct, d2m2_taylor)
+        # d^l_{2,-2} = sin^4(theta/2) P^{(4,0)}_{l-2}: exact prefactor x
+        # stable recurrence (no cancellation at any theta)
+        d2m2 = sin2half ** 2 * J40
         d20 = (2.0 * x * dP - llp1 * P) / lrootfacs
         d1m2 = sinth / rf1 * (dP - 2.0 / fac1 * dm11)
         d12 = sinth / rf1 * (dP - 2.0 / fac2 * d11)
@@ -154,14 +178,17 @@ def lens_cls(ls, tt, te, ee, pp, lmax_lensed: int | None = None,
                               - rf1 * d13) / rf2s, 0.0)
         ok4 = l >= 4.0
         rf3s = jnp.where(ok4, rf3, 1.0)
-        d04 = jnp.where(ok4, ((-llp1 + (18.0 * x ** 2 + 6.0) / sin2) * d20
-                              - 6.0 * x * lfacs2 * dP / lrootfacs)
-                        / (rf2s * rf3s), 0.0)
+        # d^l_{0,4} = norm sin^2(th/2)^2 cos^2(th/2)^2 P^{(4,4)}_{l-4},
+        # norm = sqrt((s+5)(s+6)(s+7)(s+8)/((s+1)(s+2)(s+3)(s+4))), s=l-4
+        s4 = l - 4.0
+        norm04 = jnp.sqrt(jnp.where(
+            ok4, ((s4 + 5.0) * (s4 + 6.0) * (s4 + 7.0) * (s4 + 8.0))
+            / ((s4 + 1.0) * (s4 + 2.0) * (s4 + 3.0) * (s4 + 4.0)), 1.0))
+        d04 = jnp.where(ok4, norm04 * (sin2half * cos2half) ** 2 * J44, 0.0)
         d2m4 = jnp.where(ok4, (-(6.0 * x + 4.0) * d2m3 / sinth
                                - rf2 * d2m2) / rf3s, 0.0)
-        d4m4 = jnp.where(ok4, (-7.0 / 5.0 * (llp1 - 6.0) * d2m2
-                               + 12.0 / 5.0 * (-llp1 + (9.0 * x + 26.0) / fac1)
-                               * d3m3) / (llp1 - 12.0), 0.0)
+        # d^l_{4,-4} = sin^8(theta/2) P^{(8,0)}_{l-4}
+        d4m4 = jnp.where(ok4, sin2half ** 4 * J80, 0.0)
         return dict(P=P, dP=dP, d11=d11, dm11=dm11, d22=d22, d2m2=d2m2,
                     d20=d20, d1m3=d1m3, d3m3=d3m3, d13=d13, d33=d33,
                     d04=d04, d2m4=d2m4, d4m4=d4m4,
@@ -169,11 +196,16 @@ def lens_cls(ls, tt, te, ee, pp, lmax_lensed: int | None = None,
                     rootllp1=jnp.sqrt(llp1))
 
     def pass2(carry, cls_l):
-        l, pmm, pmmp1, xi = carry
+        l, pmm, pmmp1, jac, xi = carry
         ctt, cte, cee = cls_l
         (l, pmm, pmmp1), P = _legendre_step((l, pmm, pmmp1), x)
         lc = l - 1.0          # current multipole (carry l is next)
-        d = wigner_set(lc, P, pmm)
+        (j40m1, j40), (j44m1, j44), (j80m1, j80) = jac
+        J40 = _jacobi_advance(lc - 2.0, 4.0, 0.0, x, j40m1, j40)
+        J44 = _jacobi_advance(lc - 4.0, 4.0, 4.0, x, j44m1, j44)
+        J80 = _jacobi_advance(lc - 4.0, 8.0, 0.0, x, j80m1, j80)
+        jac = ((j40, J40), (j44, J44), (j80, J80))
+        d = wigner_set(lc, P, pmm, J40, J44, J80)
         llp1 = d["llp1"]
         # non-perturbative isotropic X integrals (lensing.f90:375-393)
         X000 = jnp.exp(-llp1 * sigmasq / 4.0)
@@ -207,11 +239,12 @@ def lens_cls(ls, tt, te, ee, pp, lmax_lensed: int | None = None,
             + Cg2sq * (X220 / 2.0 * d["d2m4"] * X242
                        + (fac3 / 2.0 + dX022 * dX000) * d["d20"])
         xi3 = xi[3] + cte * f
-        return (l, pmm, pmmp1, (xi0, xi1, xi2, xi3)), None
+        return (l, pmm, pmmp1, jac, (xi0, xi1, xi2, xi3)), None
 
     z = jnp.zeros_like(x)
-    init2 = (jnp.asarray(2.0, dtype), P0, P1, (z, z, z, z))
-    (_, _, _, xi), _ = jax.lax.scan(pass2, init2, (CTT, CTE, CEE))
+    jac0 = ((z, z), (z, z), (z, z))
+    init2 = (jnp.asarray(2.0, dtype), P0, P1, jac0, (z, z, z, z))
+    (_, _, _, _, xi), _ = jax.lax.scan(pass2, init2, (CTT, CTE, CEE))
     xi = jnp.stack(xi)      # (4, ntheta)
 
     if apodize:
@@ -230,7 +263,7 @@ def lens_cls(ls, tt, te, ee, pp, lmax_lensed: int | None = None,
     xi_t, xi_p, xi_m, xi_x = xi[0] * sw, xi[1] * sw, xi[2] * sw, xi[3] * sw
 
     def pass3(carry, _):
-        l, pmm, pmmp1 = carry
+        l, pmm, pmmp1, j40m1, j40 = carry
         (l, pmm, pmmp1), P = _legendre_step((l, pmm, pmmp1), x)
         lc = l - 1.0
         llp1 = lc * (lc + 1.0)
@@ -240,12 +273,8 @@ def lens_cls(ls, tt, te, ee, pp, lmax_lensed: int | None = None,
         fac = fac1 / fac2
         d22 = (((4.0 * x - 8.0) / fac2 + llp1) * P
                + 4.0 * fac * (fac2 + (x - 2.0) / llp1) * dP) / lfacs2
-        theta_cut = 0.244949 / jnp.sqrt(3.0 * llp1 - 8.0)
-        d2m2_direct = ((llp1 - (4.0 * x + 8.0) / fac1) * P
-                       + 4.0 / fac * (-fac1 + (x + 2.0) / llp1) * dP) / lfacs2
-        d2m2_taylor = llp1 * lfacs2 * theta ** 4 \
-            * (1.0 / 384.0 - (3.0 * llp1 - 8.0) / 23040.0 * theta ** 2)
-        d2m2 = jnp.where(theta > theta_cut, d2m2_direct, d2m2_taylor)
+        J40 = _jacobi_advance(lc - 2.0, 4.0, 0.0, x, j40m1, j40)
+        d2m2 = sin2half ** 2 * J40
         d20 = (2.0 * x * dP - llp1 * P) / lrootfacs
         dctt = 2.0 * jnp.pi * jnp.sum(xi_t * P)
         T2 = jnp.sum(xi_p * d22)
@@ -253,10 +282,11 @@ def lens_cls(ls, tt, te, ee, pp, lmax_lensed: int | None = None,
         dcee = 2.0 * jnp.pi * 0.5 * (T2 + T4)
         dcbb = 2.0 * jnp.pi * 0.5 * (T2 - T4)
         dcte = 2.0 * jnp.pi * jnp.sum(xi_x * d20)
-        return (l, pmm, pmmp1), (dctt, dcte, dcee, dcbb)
+        return (l, pmm, pmmp1, j40, J40), (dctt, dcte, dcee, dcbb)
 
-    (_, _, _), deltas = jax.lax.scan(pass3, (jnp.asarray(2.0, dtype), P0, P1),
-                                     None, length=nl_out)
+    (_, _, _, _, _), deltas = jax.lax.scan(
+        pass3, (jnp.asarray(2.0, dtype), P0, P1, z, z),
+        None, length=nl_out)
     dctt, dcte, dcee, dcbb = deltas
 
     ls_out = ls[:nl_out]

@@ -99,7 +99,9 @@ class MatterTransfers(NamedTuple):
 def compute_matter_transfers(bg: BackgroundParams, tau_reion, yhe,
                              z_outputs: Sequence[float] = (0.0,),
                              k: np.ndarray | None = None,
-                             n_step: int = 6144) -> MatterTransfers:
+                             n_step: int = 6144,
+                             massive_nu: bool = False,
+                             de_perts: bool = False) -> MatterTransfers:
     """SLOW stage: Boltzmann evolution on the wide matter k grid."""
     zs = tuple(float(z) for z in z_outputs)
     assert list(zs) == sorted(zs), "z_outputs must be ascending"
@@ -108,7 +110,8 @@ def compute_matter_transfers(bg: BackgroundParams, tau_reion, yhe,
     kmax = float(np.max(k))
     tf, tau0 = build_thermo_funcs(bg, yhe, tau_reion, n_step=n_step,
                                   kmax=kmax)
-    po = evolve_perturbations(bg, tf, tau0, jnp.asarray(k, tf.tau.dtype), zs)
+    po = evolve_perturbations(bg, tf, tau0, jnp.asarray(k, tf.tau.dtype), zs,
+                              massive_nu=massive_nu, de_perts=de_perts)
     v_z = po.ddelta_m_z / po.aH_z[:, None]
     return MatterTransfers(po.k, jnp.asarray(zs, po.k.dtype), po.delta_m_z,
                            po.weyl_z, v_z, bg.H0 / 100.0)

@@ -50,6 +50,67 @@ LMAXG = int(_os.environ.get("COSMOMC_LMAXG", 12))    # photon temperature 0..LMA
 LMAXGP = int(_os.environ.get("COSMOMC_LMAXGP", 8))   # photon polarization 0..LMAXGP
 LMAXNR = int(_os.environ.get("COSMOMC_LMAXNR", 10))  # massless neutrinos 0..LMAXNR
 
+# ---------------------------------------------------------------------------
+# Extended-physics state blocks (appended AFTER the base layout, so the base
+# offsets below are unchanged whether or not a block is enabled):
+#
+#   massive-neutrino momentum hierarchy  Psi_l(q_i), l = 0..LMAXNU for each
+#   of NQ_NU Gauss nodes q_i of the relativistic density measure q^3 f0(q)
+#   (the reference's MassiveNu evolution, camb/modules.f90 +
+#   equations_ppf.f90 massive-nu sector); and
+#
+#   dark-energy fluid perturbations [delta_de, V_de=(1+w) theta_de] with
+#   c_s^2 = 1 (quintessence-like smooth DE). The reference uses the PPF
+#   module (equations_ppf.f90 w0-wa globals) which also handles the
+#   w = -1 crossing exactly; here the 1/(1+w) factors are Tikhonov-
+#   regularized near the crossing (|1+w| <~ 0.01) — a documented
+#   approximation, sub-0.1% on C_l for CPL parameters in Planck ranges.
+# ---------------------------------------------------------------------------
+NQ_NU = 4          # momentum nodes
+LMAXNU = 6         # Psi_l truncation
+NVAR_NU = NQ_NU * (LMAXNU + 1)
+NVAR_DE = 2
+
+
+def _nu_quadrature(nq: int = NQ_NU):
+    """Gauss nodes/weights for int_0^inf dq q^3 f0(q) g(q), f0 = 1/(e^q+1),
+    via discrete Stieltjes orthogonalization (host, float64). Weights sum
+    to N3 = int q^3 f0 = 7 pi^4/120."""
+    q = np.linspace(1e-6, 45.0, 30001)
+    w = q ** 3 / (np.exp(q) + 1.0)
+    a = np.zeros(nq)
+    b = np.zeros(nq)
+    p_prev = np.zeros_like(q)
+    p = np.ones_like(q)
+    norm_prev = 1.0
+    for j in range(nq):
+        norm = np.trapezoid(w * p * p, q)
+        a[j] = np.trapezoid(w * q * p * p, q) / norm
+        if j > 0:
+            b[j] = norm / norm_prev
+        p_next = (q - a[j]) * p - (b[j] if j > 0 else 0.0) * p_prev
+        p_prev, p, norm_prev = p, p_next, norm
+    J = np.diag(a) + np.diag(np.sqrt(b[1:]), 1) + np.diag(np.sqrt(b[1:]), -1)
+    nodes, vecs = np.linalg.eigh(J)
+    mu0 = np.trapezoid(w, q)
+    return nodes, mu0 * vecs[0] ** 2
+
+
+_NU_Q, _NU_W = _nu_quadrature()
+_NU_WNORM = _NU_W / _NU_W.sum()                  # weights of the <.> average
+#: d ln f0 / d ln q at the nodes (f0 Fermi-Dirac), rescaled so the
+#: quadrature reproduces the analytic moment <dlnf0/dlnq> = -4 EXACTLY —
+#: this makes the am -> 0 limit of the hierarchy coincide with the
+#: massless F_l equations to machine precision (the small-node-count
+#: quadrature error moves to the O(am^2) mass corrections instead)
+_NU_DLNF = -_NU_Q / (1.0 + np.exp(-_NU_Q))
+_NU_DLNF = _NU_DLNF * (4.0 / abs(float((_NU_WNORM * _NU_DLNF).sum())))
+
+
+def extra_state(massive_nu: bool, de_perts: bool) -> int:
+    return (NVAR_NU if massive_nu else 0) + (NVAR_DE if de_perts else 0)
+
+
 # state layout offsets
 _I_ETA = 0
 _I_DC = 1
@@ -218,10 +279,16 @@ def build_thermo_funcs(bg: BackgroundParams, yhe, tau_reion: float | jnp.ndarray
     a_g = jnp.interp(tau_grid, tau_tab, jnp.exp(lna_tab))
     z_g = 1.0 / a_g - 1.0
     opac_g = opac_of_z(z_g)
-    # cumulative optical depth from tau0 backwards: kappa(tau) = int_tau^tau0
+    # cumulative optical depth from tau0 backwards: kappa(tau) = int_tau^tau0.
+    # Summed BACKWARDS (reversed cumsum) so the physically-relevant small
+    # kappa values near recombination/today are sums of small terms — the
+    # forward form kappa_total - kappa_from(tau) subtracts two ~1e7 numbers
+    # (the deep-tight-coupling opacity integral) to produce kappa ~ 5 and
+    # loses everything in float32 (measured: a systematic ~10% C_l
+    # amplitude error on the f32 TPU path).
     dk = 0.5 * (opac_g[1:] + opac_g[:-1]) * jnp.diff(tau_grid)
-    kappa_from = jnp.concatenate([jnp.zeros((1,), dtype), parallel_cumsum(dk)])
-    kappa = kappa_from[-1] - kappa_from          # kappa(tau..tau0)
+    kappa = jnp.concatenate([parallel_cumsum(dk[::-1])[::-1],
+                             jnp.zeros((1,), dtype)])
     expmk = jnp.exp(-kappa)
     vis = opac_g * expmk
 
@@ -257,9 +324,20 @@ def _grho_terms(bg: BackgroundParams, a):
     return grho_g, grho_n, grho_c, grho_b, grho_de, grho_k
 
 
-def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU):
-    """Returns rhs(tau, y, k) -> (dy/dtau, aux dict) for vmapped use."""
+def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU,
+             massive_nu: bool = False, de_perts: bool = False):
+    """Returns rhs(tau, y, k) -> (dy/dtau, aux dict) for vmapped use.
+
+    `massive_nu` enables the momentum-sampled massive-neutrino hierarchy
+    (exact massive background + perturbed stress-energy in the Einstein
+    constraints); `de_perts` enables the c_s^2=1 dark-energy fluid. Both
+    are STATIC switches that extend the state layout (see extra_state)."""
     dtype = tf.tau.dtype
+    i_nu = NVAR
+    i_de = NVAR + (NVAR_NU if massive_nu else 0)
+    nu_q = jnp.asarray(_NU_Q, dtype)
+    nu_wn = jnp.asarray(_NU_WNORM, dtype)
+    nu_dlnf = jnp.asarray(_NU_DLNF, dtype)
 
     def interp(tab, tau):
         return jnp.interp(tau, tf.tau, tab)
@@ -268,11 +346,29 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU):
         a = interp(tf.a, tau)
         opac = interp(tf.opac, tau)
         csqb = interp(tf.csqb, tau)
-        grho_g, grho_n, grho_c, grho_b, grho_de, grho_k = _grho_terms(bg, a)
-        grho = grho_g + grho_n + grho_c + grho_b + grho_de
+        grho_g, grho_n_all, grho_c, grho_b, grho_de, grho_k = \
+            _grho_terms(bg, a)
+        d_bg = _densities(bg)
+        if massive_nu:
+            # split the neutrino share: massless part keeps the F hierarchy,
+            # the massive eigenstate gets the exact background density and
+            # the Psi_l(q) sums below
+            deg_tot = d_bg["massless_deg"] + d_bg["massive_deg"]
+            gml = grho_n_all * d_bg["massive_deg"] / deg_tot   # massless-equiv
+            grho_n = grho_n_all * d_bg["massless_deg"] / deg_tot
+            am = a * d_bg["nu_mass"]
+            eps_q = jnp.sqrt(nu_q ** 2 + am ** 2)              # (NQ,)
+            rho_fac = jnp.sum(nu_wn * eps_q / nu_q)            # = nu_rho(am)
+            p_fac = jnp.sum(nu_wn * nu_q / eps_q)
+            grho_m = gml * rho_fac
+            gpres_m = gml * p_fac / 3.0
+        else:
+            grho_n = grho_n_all
+            grho_m = gpres_m = 0.0
+        grho = grho_g + grho_n + grho_m + grho_c + grho_b + grho_de
         adotoa = jnp.sqrt((grho + grho_k) / 3.0)          # conformal H = a'/a
         w_de = bg.w + bg.wa * (1.0 - a)
-        gpres = (grho_g + grho_n) / 3.0 + w_de * grho_de
+        gpres = (grho_g + grho_n) / 3.0 + gpres_m + w_de * grho_de
 
         eta = y[_I_ETA]
         dc, db, tb = y[_I_DC], y[_I_DB], y[_I_TB]
@@ -319,10 +415,48 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU):
         dn = jnp.where(rsa, dn_rsa, dn)
         tn = jnp.where(rsa, tn_rsa, tn)
 
+        # ---- extended-sector perturbed stress-energy ----
+        # The shared tau grid resolves oscillation frequencies only up to
+        # min(k, rsa_ktau/tau) (lanes beyond are RSA-slaved). The massive
+        # hierarchy while still RELATIVISTIC (am < ~2) streams at ~k like a
+        # massless species, and the cs^2=1 DE fluid oscillates at ~k — both
+        # must be slaved past the RSA boundary or the explicit stepper
+        # blows up. Once non-relativistic (am >~ 2) the nu frequencies are
+        # suppressed by q/eps and full evolution is stable.
+        if massive_nu:
+            psi_nu = y[i_nu:i_nu + NVAR_NU].reshape(NQ_NU, LMAXNU + 1)
+            nu_rel_rsa = jnp.logical_and(rsa, am < 2.0)
+            # MB95 eq 55 momentum integrals on the Gauss nodes; under
+            # relativistic RSA the species tracks the massless one
+            dgrho_m = jnp.where(
+                nu_rel_rsa, gml * dn_rsa,
+                gml * jnp.sum(nu_wn * (eps_q / nu_q) * psi_nu[:, 0]))
+            dgq_m = jnp.where(
+                nu_rel_rsa, (4.0 / 3.0) * gml * tn_rsa,
+                gml * k * jnp.sum(nu_wn * psi_nu[:, 1]))
+            dgpi_m = jnp.where(
+                nu_rel_rsa, 0.0,
+                (2.0 / 3.0) * gml * jnp.sum(
+                    nu_wn * (nu_q / eps_q) * psi_nu[:, 2]))
+        else:
+            dgrho_m = dgq_m = dgpi_m = 0.0
+        if de_perts:
+            de_delta = y[i_de]
+            de_V = y[i_de + 1]
+            # smooth (cs^2=1) DE clusters only near/above the horizon; past
+            # the RSA boundary its perturbations are negligible and frozen
+            de_off = rsa
+            dgrho_de = jnp.where(de_off, 0.0, grho_de * de_delta)
+            dgq_de = jnp.where(de_off, 0.0, grho_de * de_V)
+        else:
+            dgrho_de = dgq_de = 0.0
+
         # ---- metric constraints (MB95 eq 21a,b) ----
-        dgrho = grho_c * dc + grho_b * db + grho_g * dg + grho_n * dn
+        dgrho = (grho_c * dc + grho_b * db + grho_g * dg + grho_n * dn
+                 + dgrho_m + dgrho_de)
         hdot = (2.0 * k2 * eta + dgrho) / adotoa
-        dgq = (4.0 / 3.0) * (grho_g * tg + grho_n * tn) + grho_b * tb
+        dgq = ((4.0 / 3.0) * (grho_g * tg + grho_n * tn) + grho_b * tb
+               + dgq_m + dgq_de)
         etadot = 0.5 * dgq / k2
 
         # ---- photon shear / polarization: evolved or TCA-slaved ----
@@ -339,7 +473,7 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU):
                                        fg[0] + gp[0] + gp[2]))
 
         # anisotropic stress sum: 8 pi G a^2 (rho+p) sigma
-        dgpi = (4.0 / 3.0) * (grho_g * sigma_g + grho_n * sigma_n)
+        dgpi = (4.0 / 3.0) * (grho_g * sigma_g + grho_n * sigma_n) + dgpi_m
 
         # ---- baryon/photon velocities ----
         R = (4.0 / 3.0) * grho_g / grho_b      # 4 rho_g / (3 rho_b)
@@ -409,10 +543,58 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU):
             k * fn[-2] - (LMAXNR + 1) / tau_safe * fn[-1])
         fndot = jnp.where(rsa, jnp.zeros_like(fndot), fndot)
 
-        dy = jnp.concatenate([
-            jnp.stack([etadot, dcdot, dbdot, tbdot, dgdot, tgdot]),
-            fgdot, gpdot,
-            jnp.stack([dndot, tndot]), fndot])
+        parts = [jnp.stack([etadot, dcdot, dbdot, tbdot, dgdot, tgdot]),
+                 fgdot, gpdot,
+                 jnp.stack([dndot, tndot]), fndot]
+
+        dgpidot_extra = jnp.zeros((), dtype)
+        if massive_nu:
+            # MB95 eq 57 per momentum node (vectorized over q and l)
+            qke = (nu_q / eps_q) * k                     # (NQ,)
+            psid = jnp.zeros_like(psi_nu)
+            psid = psid.at[:, 0].set(
+                -qke * psi_nu[:, 1] + (hdot / 6.0) * nu_dlnf)
+            psid = psid.at[:, 1].set(
+                (qke / 3.0) * (psi_nu[:, 0] - 2.0 * psi_nu[:, 2]))
+            psid = psid.at[:, 2].set(
+                (qke / 5.0) * (2.0 * psi_nu[:, 1] - 3.0 * psi_nu[:, 3])
+                - (hdot / 15.0 + 2.0 * etadot / 5.0) * nu_dlnf)
+            for ll in range(3, LMAXNU):
+                psid = psid.at[:, ll].set(
+                    (qke / (2.0 * ll + 1.0))
+                    * (ll * psi_nu[:, ll - 1] - (ll + 1.0) * psi_nu[:, ll + 1]))
+            # truncation (MB95 eq 58 closure)
+            psid = psid.at[:, LMAXNU].set(
+                qke * psi_nu[:, LMAXNU - 1]
+                - (LMAXNU + 1.0) / tau_safe * psi_nu[:, LMAXNU])
+            # freeze relativistic-RSA lanes (contributions slaved above)
+            psid = jnp.where(nu_rel_rsa, jnp.zeros_like(psid), psid)
+            parts.append(psid.reshape(-1))
+            # d/dtau of the massive anisotropic-stress sum (for psidot/ISW):
+            # d[gml (q/eps) Psi2] with gml' = -2 aH gml and
+            # (q/eps)' = -q am^2 aH / eps^3
+            dgpidot_extra = jnp.where(nu_rel_rsa, 0.0, (2.0 / 3.0) * gml
+                                      * jnp.sum(
+                nu_wn * ((nu_q / eps_q) * psid[:, 2]
+                         - (nu_q * am ** 2 * adotoa / eps_q ** 3
+                            + 2.0 * adotoa * nu_q / eps_q) * psi_nu[:, 2])))
+        if de_perts:
+            # c_s^2 = 1 fluid in synchronous gauge, V = (1+w) theta form;
+            # 1/(1+w) Tikhonov-regularized near the w = -1 crossing
+            wp = -bg.wa * a * adotoa                      # dw/dtau
+            opw = 1.0 + w_de
+            rinv = opw / (opw * opw + 1e-4)
+            de_ddot = (-de_V - opw * 0.5 * hdot
+                       - 3.0 * adotoa * (1.0 - w_de) * de_delta
+                       - (9.0 * adotoa ** 2 * (1.0 - w_de)
+                          + 3.0 * adotoa * wp * rinv) * de_V / k2)
+            de_Vdot = 2.0 * adotoa * de_V + k2 * de_delta + wp * rinv * de_V
+            # frozen past the RSA boundary (see de_off above)
+            de_ddot = jnp.where(de_off, 0.0, de_ddot)
+            de_Vdot = jnp.where(de_off, 0.0, de_Vdot)
+            parts.append(jnp.stack([de_ddot, de_Vdot]))
+
+        dy = jnp.concatenate(parts)
 
         # sigma' values for psi' (ISW): from the evolved/TCA derivative
         sigg_dot = jnp.where(frozen, jnp.zeros_like(fg2dot), fg2dot) / 2.0
@@ -422,14 +604,18 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU):
                    sigma_g=sigma_g, sigma_n=sigma_n,
                    sigg_dot=sigg_dot, sign_dot=sign_dot,
                    grho_g=grho_g, grho_n=grho_n, grho_b=grho_b,
-                   grho_c=grho_c, tbdot=tbdot, pol_term=pol_term)
+                   grho_c=grho_c, tbdot=tbdot, pol_term=pol_term,
+                   dgpidot_extra=dgpidot_extra)
         return dy, aux
 
     return rhs
 
 
-def adiabatic_ics(bg: BackgroundParams, tf: ThermoFuncs, k, tau):
-    """MB95 eq (96) adiabatic initial conditions (C=1), synchronous gauge."""
+def adiabatic_ics(bg: BackgroundParams, tf: ThermoFuncs, k, tau,
+                  massive_nu: bool = False, de_perts: bool = False):
+    """MB95 eq (96) adiabatic initial conditions (C=1), synchronous gauge.
+    With massive_nu, the Psi_l(q) nodes follow MB95 eq (98) (relativistic
+    start, eps ~ q); DE fluid perturbations start at zero."""
     dtype = jnp.asarray(k).dtype
     d = _densities(bg)
     grho_g = d["ogh2"]
@@ -437,7 +623,7 @@ def adiabatic_ics(bg: BackgroundParams, tf: ThermoFuncs, k, tau):
     Rnu = grho_n / (grho_g + grho_n)
     kt = k * tau
     C = jnp.asarray(1.0, dtype)
-    y = jnp.zeros((NVAR,), dtype)
+    y = jnp.zeros((NVAR + extra_state(massive_nu, de_perts),), dtype)
     dg = -(2.0 / 3.0) * C * kt ** 2
     y = y.at[_I_DG].set(dg)
     y = y.at[_I_DC].set(0.75 * dg)
@@ -449,9 +635,21 @@ def adiabatic_ics(bg: BackgroundParams, tf: ThermoFuncs, k, tau):
     y = y.at[_I_TB].set(theta)
     y = y.at[_I_TN].set(-(C / 18.0) * k * kt ** 3
                         * (23.0 + 4.0 * Rnu) / (15.0 + 4.0 * Rnu))
-    y = y.at[_I_FN2].set(2.0 * (2.0 * C * kt ** 2 / (3.0 * (15.0 + 4.0 * Rnu))))
+    fn2 = 2.0 * (2.0 * C * kt ** 2 / (3.0 * (15.0 + 4.0 * Rnu)))
+    y = y.at[_I_FN2].set(fn2)
     y = y.at[_I_ETA].set(2.0 * C - C * (5.0 + 4.0 * Rnu)
                          / (6.0 * (15.0 + 4.0 * Rnu)) * kt ** 2)
+    if massive_nu:
+        # MB95 eq 98: Psi_0 = -(1/4) delta_nu dlnf0/dlnq, Psi_1 =
+        # -(eps/3qk) theta_nu dlnf, Psi_2 = -(1/2) sigma_nu dlnf; the
+        # relativistic start has eps = q, delta/theta/sigma equal to the
+        # massless-species values (F_0, theta, F_2/2)
+        dlnf = jnp.asarray(_NU_DLNF, dtype)
+        psi = jnp.zeros((NQ_NU, LMAXNU + 1), dtype)
+        psi = psi.at[:, 0].set(-(0.25 * y[_I_DN]) * dlnf)
+        psi = psi.at[:, 1].set(-(y[_I_TN] / (3.0 * k)) * dlnf)
+        psi = psi.at[:, 2].set(-(0.25 * fn2) * dlnf)
+        y = y.at[NVAR:NVAR + NVAR_NU].set(psi.reshape(-1))
     return y
 
 
@@ -478,23 +676,29 @@ def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
                          tau0: jnp.ndarray, k: jnp.ndarray,
                          z_outputs: Tuple[float, ...] = (0.0,),
                          rsa_ktau: float = RSA_KTAU,
-                         source_opts: dict | None = None) -> PerturbationOutput:
+                         source_opts: dict | None = None,
+                         massive_nu: bool = False,
+                         de_perts: bool = False) -> PerturbationOutput:
     """Evolve all k modes over the shared grid; emit sources per step.
 
     One `lax.scan` over the tau grid; the state carries all k lanes
-    (nk, NVAR). Lanes are overwritten with analytic adiabatic ICs while
-    k*tau < IC_RELEASE_KTAU (exact superhorizon evolution), giving per-k
-    start times without control flow — the fixed-grid analog of the
-    reference's per-k adaptive integration start (cmbmain DoSourcek).
+    (nk, NVAR [+ extensions]). Lanes are overwritten with analytic
+    adiabatic ICs while k*tau < IC_RELEASE_KTAU (exact superhorizon
+    evolution), giving per-k start times without control flow — the
+    fixed-grid analog of the reference's per-k adaptive integration start
+    (cmbmain DoSourcek). `massive_nu`/`de_perts` enable the extended
+    sectors (see make_rhs).
     """
     dtype = tf.tau.dtype
     k = jnp.asarray(k, dtype)
     nk = k.shape[0]
-    rhs = make_rhs(bg, tf, rsa_ktau)
+    rhs = make_rhs(bg, tf, rsa_ktau, massive_nu=massive_nu,
+                   de_perts=de_perts)
     vrhs = jax.vmap(rhs, in_axes=(None, 0, 0))
 
     taus = tf.tau
-    y0 = jax.vmap(lambda kk: adiabatic_ics(bg, tf, kk, taus[0]))(k)
+    y0 = jax.vmap(lambda kk: adiabatic_ics(bg, tf, kk, taus[0],
+                                           massive_nu, de_perts))(k)
     r_init = jax.vmap(lambda yy, kk: measure_curvature(bg, tf, yy, kk, taus[0])
                       )(y0, k)
     # r_init measured when each lane releases would be ideal; superhorizon
@@ -516,7 +720,8 @@ def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
         dgpidot = (4.0 / 3.0) * (
             -2.0 * aux["adotoa"] * (aux["grho_g"] * aux["sigma_g"]
                                     + aux["grho_n"] * aux["sigma_n"])
-            + aux["grho_g"] * aux["sigg_dot"] + aux["grho_n"] * aux["sign_dot"])
+            + aux["grho_g"] * aux["sigg_dot"] + aux["grho_n"] * aux["sign_dot"]
+        ) + aux["dgpidot_extra"]
         psidot = phidot - 1.5 * dgpidot / k2
         # gauge transform (MB95 eq 27): delta_con = delta_syn + alpha rho'/rho
         # with rho'/rho = -4 aH for photons -> Theta0_N = dg/4 - aH alpha
@@ -559,7 +764,8 @@ def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
         # so every lane must release well before matter-radiation equality
         # (tau_eq ~ 110 Mpc) — low-k lanes frozen on ICs at recombination
         # would corrupt exactly the modes that source the lowest multipoles.
-        ics = jax.vmap(lambda kk: adiabatic_ics(bg, tf, kk, tau_b))(k)
+        ics = jax.vmap(lambda kk: adiabatic_ics(bg, tf, kk, tau_b,
+                                                massive_nu, de_perts))(k)
         released = jnp.logical_or(k * tau_b >= IC_RELEASE_KTAU,
                                   tau_b >= 3.0)[:, None]
         y_new = jnp.where(released, y_new, ics)

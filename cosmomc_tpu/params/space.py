@@ -208,7 +208,17 @@ class ParameterSpace:
         cov = np.zeros((n, n))
         matched = np.zeros(n, bool)
         fmap = {nm: i for i, nm in enumerate(file_names)}
-        idx = [(i, fmap[p.name]) for i, p in enumerate(var) if p.name in fmap]
+        # reference .covmat/.paramnames aliases (paramnames/params_CMB
+        # .paramnames uses omegabh2/...; this package uses the ini-key
+        # spellings ombh2/...)
+        alias = {"ombh2": "omegabh2", "omch2": "omegach2",
+                 "A_planck": "calPlanck", "omk": "omegak"}
+        def fidx(p):
+            if p.name in fmap:
+                return fmap[p.name]
+            return fmap.get(alias.get(p.name, ""), None)
+        idx = [(i, fidx(p)) for i, p in enumerate(var)
+               if fidx(p) is not None]
         for i, fi in idx:
             matched[i] = True
             for j, fj in idx:

@@ -199,6 +199,12 @@ class CMBPosterior:
     #: ~100x below memory speed and kills >60s kernels), or "auto" (pick
     #: by jax.default_backend() at first trace)
     los_method: str = "auto"
+    #: extended perturbation sectors (perturbations.make_rhs): "auto"
+    #: enables the massive-neutrino momentum hierarchy when mnu is SAMPLED
+    #: (fixed mnu=0.06 keeps the documented <~0.1% massless approximation)
+    #: and the DE fluid perturbations when w/wa are sampled or non-LCDM
+    massive_nu_hierarchy: object = "auto"    # "auto" | bool
+    de_perturbations: object = "auto"        # "auto" | bool
     #: False = LSS-only run (astro parameterization): skip the C_l stack,
     #: compute only background + thermal history + matter power
     use_cmb: bool = True
@@ -286,6 +292,23 @@ class CMBPosterior:
         self.derived_names = [all_derived[i] for i in self._derived_keep]
         self.num_derived = len(self.derived_names)
 
+        # resolve the extended-sector static switches (build time)
+        def _varies(name):
+            if name not in self.space:
+                return False
+            return self.space.get(name).varying
+        if self.massive_nu_hierarchy == "auto":
+            p = self.space.get("mnu") if "mnu" in self.space else None
+            self.massive_nu_hierarchy = bool(
+                _varies("mnu") or (p is not None and p.center > 0.2))
+        if self.de_perturbations == "auto":
+            pw = self.space.get("w") if "w" in self.space else None
+            pwa = self.space.get("wa") if "wa" in self.space else None
+            self.de_perturbations = bool(
+                _varies("w") or _varies("wa")
+                or (pw is not None and abs(pw.center + 1.0) > 1e-6)
+                or (pwa is not None and abs(pwa.center) > 1e-6))
+
     def embed_full(self, varying: jnp.ndarray) -> jnp.ndarray:
         full = jnp.asarray(self._full_template, varying.dtype)
         return full.at[jnp.asarray(self.varying_idx)].set(varying)
@@ -332,9 +355,11 @@ class CMBPosterior:
                                   nk_lin=self.source_nk[1])
             else:
                 k = source_k_grid(kmax=self.kmax)
-            po, chi_star, tf = compute_transfers(bg, tau_re, yhe, k,
-                                                 return_thermo=True,
-                                                 n_step=self.n_step_boltzmann)
+            po, chi_star, tf = compute_transfers(
+                bg, tau_re, yhe, k, return_thermo=True,
+                n_step=self.n_step_boltzmann,
+                massive_nu=self.massive_nu_hierarchy,
+                de_perts=self.de_perturbations)
             method = self.los_method
             if method == "auto":
                 import jax
@@ -345,10 +370,11 @@ class CMBPosterior:
                     compute_cl_transfers_recurrence
                 clt = compute_cl_transfers_recurrence(po, chi_star,
                                                       lmax=lmax_c,
-                                                      kmax_hint=self.kmax)
+                                                      kmax_hint=self.kmax,
+                                                      coarse_k=k)
             else:
                 clt = compute_cl_transfers(po, chi_star, lmax=lmax_c,
-                                           kmax_hint=self.kmax)
+                                           kmax_hint=self.kmax, coarse_k=k)
         else:
             clt = None
 
@@ -370,7 +396,9 @@ class CMBPosterior:
         if self.matter_power:
             from cosmomc_tpu.models.matterpower import compute_matter_transfers
             mt = compute_matter_transfers(bg, tau_re, yhe,
-                                          z_outputs=tuple(sorted(self.z_pk)))
+                                          z_outputs=tuple(sorted(self.z_pk)),
+                                          massive_nu=self.massive_nu_hierarchy,
+                                          de_perts=self.de_perturbations)
         else:
             mt = None
 

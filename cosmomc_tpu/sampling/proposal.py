@@ -99,9 +99,28 @@ class BlockedProposal:
 
     # ---------- schedule ----------
 
-    def make_schedule(self, steps: int, rng: np.random.Generator) -> ProposalSchedule:
+    def make_schedule(self, steps: int, rng: np.random.Generator,
+                      slow_every: Optional[int] = None,
+                      expensive_blocks: Optional[Sequence[int]] = None
+                      ) -> ProposalSchedule:
         """Precompute (block, direction, refresh) for `steps` steps, following
-        the reference's cycling-permutation visit order with fast oversampling."""
+        the reference's cycling-permutation visit order with fast oversampling.
+
+        `slow_every` (optional) switches to a *patterned* schedule: exactly
+        one expensive-block step every `slow_every` steps (at offsets 0,
+        slow_every, ...), all other steps cycling the cheap directions.
+        This bounds the number of full-theory recomputes per compiled
+        segment — required on backends with a per-execution watchdog
+        (axon kills kernels >~60s) and the natural generalization of the
+        reference's oversample_fast economics (propose.f90:261-272): cheap
+        directions are nearly free against the cached theory, so visiting
+        them more often costs nothing. Deterministic block cycling within
+        a random-direction proposal remains a valid irreducible MH kernel.
+        `expensive_blocks` lists the block indices that count as expensive
+        (default: blocks [0, slow_block_max))."""
+        if slow_every is not None:
+            return self._make_schedule_patterned(steps, rng, slow_every,
+                                                 expensive_blocks)
         nb = len(self.block_sizes)
         blocks = np.empty(steps, np.int32)
         dirs = np.empty(steps, np.int32)
@@ -151,6 +170,43 @@ class BlockedProposal:
             dirs[t] = d
         # deterministic upper bound so shapes are identical across segments
         # of the same length (no recompiles): visits_b <= steps
+        num_rots = tuple(steps // sz + 1 for sz in self.block_sizes)
+        return ProposalSchedule(blocks, dirs, rot_ix, num_rots)
+
+    def _make_schedule_patterned(self, steps, rng, slow_every,
+                                 expensive_blocks):
+        if expensive_blocks is None:
+            expensive_blocks = list(range(self.slow_block_max))
+        exp = set(int(b) for b in expensive_blocks)
+        pos_block = []
+        for b, (s, size) in enumerate(zip(self.block_starts, self.block_sizes)):
+            pos_block += [b] * size
+        exp_pos = [p for p, b in enumerate(pos_block) if b in exp]
+        cheap_pos = [p for p, b in enumerate(pos_block) if b not in exp]
+        if not exp_pos or not cheap_pos:
+            raise ValueError("patterned schedule needs both expensive and "
+                             "cheap directions")
+
+        def cycler(items):
+            while True:
+                for v in rng.permutation(len(items)):
+                    yield items[int(v)]
+        e_cyc = cycler(exp_pos)
+        c_cyc = cycler(cheap_pos)
+
+        blocks = np.empty(steps, np.int32)
+        dirs = np.empty(steps, np.int32)
+        rot_ix = np.empty(steps, np.int32)
+        dir_count = np.zeros(len(self.block_sizes), np.int64)
+        for t in range(steps):
+            pos = next(e_cyc) if t % slow_every == 0 else next(c_cyc)
+            b = pos_block[pos]
+            size = self.block_sizes[b]
+            d = int(dir_count[b] % size)
+            rot_ix[t] = dir_count[b] // size
+            dir_count[b] += 1
+            blocks[t] = b
+            dirs[t] = d
         num_rots = tuple(steps // sz + 1 for sz in self.block_sizes)
         return ProposalSchedule(blocks, dirs, rot_ix, num_rots)
 

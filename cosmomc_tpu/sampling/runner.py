@@ -53,6 +53,12 @@ class RunConfig:
     #: segment runs SPMD with jit-propagated shardings (the reference's
     #: one-rank-per-chain MPI layout, SampleCollector.f90:248-251).
     num_devices: int = 0
+    #: confidence-limit convergence check (SampleCollector.f90:477-544
+    #: CheckLimitsConverge): additionally require the cross-chain spread of
+    #: each parameter's `limit_frac` quantile endpoints to be below
+    #: `limits_tol` in units of the pooled sigma. 0 = off (R-1 only).
+    limits_tol: float = 0.0
+    limit_frac: float = 0.025
 
 
 @dataclass
@@ -244,6 +250,21 @@ class SamplingRun:
         except np.linalg.LinAlgError:
             r = np.inf
         self.r_current = r
+        # confidence-limit convergence (CheckLimitsConverge): worst
+        # cross-chain rms of the lower/upper limit_frac quantile endpoints
+        # in pooled-sigma units
+        self.limits_spread = None
+        if self.cfg.limits_tol > 0:
+            fr = self.cfg.limit_frac
+            q = np.quantile(half, [fr, 1.0 - fr], axis=0)   # (2, C, n)
+            sig = half.reshape(-1, half.shape[-1]).std(axis=0) + 1e-30
+            spread = q.std(axis=1) / sig                    # (2, n)
+            self.limits_spread = float(spread.max())
+            if self.limits_spread > self.cfg.limits_tol:
+                # hold convergence until the limits settle too
+                self.r_current = max(self.r_current,
+                                     self.cfg.r_stop + self.limits_spread)
+                r = self.r_current
         if (self.cfg.learn_propose and r < self.cfg.max_r_propose_update
                 and half.shape[0] * half.shape[1] > 10 * means.shape[1]):
             flat = half.reshape(-1, half.shape[-1])
@@ -271,6 +292,8 @@ class SamplingRun:
             f.write(f"{self.r_current:17.5f}\n")
             if done:
                 f.write("Done\n")
+            if getattr(self, "limits_spread", None) is not None:
+                f.write(f"limits spread/sigma: {self.limits_spread:.5f}\n")
 
     # ---------- checkpoint / resume ----------
 

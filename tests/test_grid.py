@@ -104,3 +104,30 @@ def test_one_grid_cell_end_to_end(tmp_path):
     assert it.chains_exist()
     r, _done = it.converge_stat()
     assert r is not None and np.isfinite(r)
+
+
+def test_jobqueue_scripts_and_submit(tmp_path):
+    """Cluster queue layer (reference python/paramgrid/jobqueue.py +
+    job_script templates): render a SLURM script per grid item, submit via
+    a (fake) submit command, track queue ids in the jobdb."""
+    from cosmomc_tpu.grid.jobqueue import JobQueue
+
+    batch = make_grid(str(tmp_path / "grid"), small_settings(tmp_path))
+    fake = tmp_path / "fake_sbatch.sh"
+    fake.write_text("#!/bin/sh\necho Submitted batch job 4242\n")
+    fake.chmod(0o755)
+    q = JobQueue(batch, queue="slurm", submit_cmd=[str(fake)],
+                 walltime="01:00:00")
+    ids = q.submit_unfinished()
+    assert ids and all(i == "4242" for i in ids)
+    assert set(q.queued_ids().values()) == {"4242"}
+    item = batch.items[0]
+    script = open(q.script_for(item)).read()
+    assert "#SBATCH --job-name=" in script
+    assert item.ini_file in script
+    assert q.status_cmd(item.name)[-1] == "4242"
+
+    # PBS template renders too
+    q2 = JobQueue(batch, queue="pbs", submit_cmd=[str(fake)])
+    s2 = open(q2.script_for(item)).read()
+    assert "#PBS -N" in s2

@@ -204,3 +204,39 @@ class TestRunner:
         res = run.run()
         assert res.stopped_on == "exit_requested"
         assert res.steps == 32   # stopped after the first segment
+
+
+def test_limits_convergence_gate():
+    """Confidence-limit convergence (SampleCollector.f90:477-544
+    CheckLimitsConverge): with limits_tol set, convergence additionally
+    requires the cross-chain quantile-endpoint spread to settle; a
+    well-mixed Gaussian run passes it, and the spread is recorded."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from cosmomc_tpu.params.space import Param, ParameterSpace, Speed
+    from cosmomc_tpu.sampling.metropolis import (MetropolisSampler,
+                                                 make_bounded_posterior)
+    from cosmomc_tpu.sampling.proposal import BlockedProposal
+    from cosmomc_tpu.sampling.runner import SamplingRun, RunConfig
+
+    space = ParameterSpace()
+    for i in range(2):
+        space.add(Param(f"p{i}", 0.0, -30, 30, 1.0, 1.0, speed=Speed.SLOW))
+    arr = space.device_arrays(jnp.float32)
+
+    def raw(P):
+        return 0.5 * jnp.sum(P * P), jnp.zeros((0,), P.dtype)
+
+    logpost = make_bounded_posterior(raw, arr["lo"], arr["hi"], num_derived=0)
+    prop = BlockedProposal(space.speed_blocks(), slow_block_max=1)
+    prop.set_covariance(np.eye(2))
+    sampler = MetropolisSampler(prop, logpost, num_derived=0)
+    cfg = RunConfig(nchains=64, segment_steps=64, max_steps=6000,
+                    r_stop=0.05, burn_accepts_per_block=20, stats_thin=1,
+                    seed=5, limits_tol=0.5, limit_frac=0.025)
+    start = np.random.default_rng(0).normal(0, 1, (64, 2))
+    run = SamplingRun(sampler, cfg, start, chain_root=None, feedback=0)
+    res = run.run()
+    assert res.stopped_on == "converged"
+    assert run.limits_spread is not None and run.limits_spread < 0.5
