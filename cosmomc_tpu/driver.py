@@ -199,12 +199,18 @@ def build_posterior(ini: IniFile, dtype=None):
             data_dir = os.environ.get("COSMOMC_DATA", "/root/reference/data")
             cand = os.path.join(data_dir, "HighL_lensedCls.dat")
             tmpl = cand if os.path.isfile(cand) else ""
+        # HMC (or any full-path gradient use) needs the Boltzmann scan
+        # checkpointed or the reverse pass materializes GBs of residuals
+        method = ini.string("sampling_method", "1").strip().lower()
+        remat_default = 64 if method in ("8", "hmc") else 0
         post = CMBPosterior(par, space, likes,
                             lmax=ini.int("lmax", 2508),
                             lmax_computed=lmax_computed,
                             highl_template=tmpl,
                             matter_power=ini.bool("use_matter_power", False),
                             compute_tensors=compute_tensors,
+                            remat_chunks=ini.int("boltzmann_remat_chunks",
+                                                 remat_default),
                             dtype=dtype)
     else:
         post = BackgroundPosterior(par, space, likes, dtype=dtype)
@@ -285,16 +291,16 @@ def run_ini(path: str, overrides: Optional[Dict[str, str]] = None) -> int:
     if method in ("8", "hmc"):
         from cosmomc_tpu.sampling.hmc import HMCSampler, HMCRun
         if hasattr(post, "stage_slow") and post.use_cmb and \
+                not post.remat_chunks and \
                 not ini.bool("hmc_allow_full_boltzmann", False):
-            # reverse-mode through the full Boltzmann scan needs
-            # O(n_step x nk x nvar) residuals per chain (GBs) — refuse by
-            # default rather than OOM mid-run; small-lmax or gradient-
-            # subset configs can opt in explicitly
+            # reverse-mode through the un-checkpointed Boltzmann scan
+            # materializes O(n_step x nk x nvar) residuals per chain (GBs)
+            # — refuse rather than OOM mid-run (remat is on by default for
+            # hmc; this triggers only if explicitly disabled)
             raise ValueError(
-                "sampling_method=hmc on a full-CMB posterior differentiates "
-                "through the Boltzmann scan (multi-GB reverse pass). Set "
-                "hmc_allow_full_boltzmann = T to proceed anyway (small "
-                "lmax/kmax configs), or use the staged Metropolis sampler.")
+                "sampling_method=hmc on a full-CMB posterior needs the "
+                "checkpointed Boltzmann scan: set boltzmann_remat_chunks "
+                "(default 64 for hmc) or hmc_allow_full_boltzmann = T.")
         sampler = HMCSampler(post.logpost(),
                              num_leapfrog=ini.int("hmc_leapfrog_steps", 16),
                              num_derived=post.num_derived)

@@ -51,7 +51,8 @@ def compute_transfers(bg: BackgroundParams, tau_reion, yhe,
                       return_thermo: bool = False,
                       n_step: int = 0,
                       massive_nu: bool = False,
-                      de_perts: bool = False):
+                      de_perts: bool = False,
+                      remat_chunks: int = 0):
     """Slow stage: thermal history + Boltzmann evolution (the analog of
     CAMB_GetTransfers). Returns (transfers, chi_star); with
     `return_thermo`, also the ThermoFuncs tables (so the tensor stage can
@@ -63,7 +64,8 @@ def compute_transfers(bg: BackgroundParams, tau_reion, yhe,
     else:
         tf, tau0 = build_thermo_funcs(bg, yhe, tau_reion)
     po = evolve_perturbations(bg, tf, tau0, jnp.asarray(k), z_outputs,
-                              massive_nu=massive_nu, de_perts=de_perts)
+                              massive_nu=massive_nu, de_perts=de_perts,
+                              remat_chunks=remat_chunks)
     # chi_star: distance to the visibility peak
     ipk = jnp.argmax(tf.vis)
     chi_star = tau0 - tf.tau[ipk]

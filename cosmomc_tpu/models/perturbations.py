@@ -678,7 +678,8 @@ def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
                          rsa_ktau: float = RSA_KTAU,
                          source_opts: dict | None = None,
                          massive_nu: bool = False,
-                         de_perts: bool = False) -> PerturbationOutput:
+                         de_perts: bool = False,
+                         remat_chunks: int = 0) -> PerturbationOutput:
     """Evolve all k modes over the shared grid; emit sources per step.
 
     One `lax.scan` over the tau grid; the state carries all k lanes
@@ -782,8 +783,30 @@ def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
                  + aux["grho_b"] * dy[:, _I_DB]) / wsum
         return y_new, (s0, s1, s2, slens, dm, dmdot, weyl)
 
-    xs = (taus[:-1], taus[1:])
-    y_final, outs = jax.lax.scan(step, y0, xs)
+    n_steps = taus.shape[0] - 1
+    if remat_chunks > 0:
+        # memory-bounded reverse mode (HMC / full-path gradients): only
+        # chunk-boundary states are stored as residuals; each chunk's
+        # interior is recomputed on the backward pass (sqrt-style
+        # checkpointing; peak ~ (nstep/chunks + chunks) states instead of
+        # nstep). Steps are padded with dt=0 no-ops to a chunk multiple.
+        chunk = -(-n_steps // remat_chunks)
+        npad = chunk * remat_chunks - n_steps
+        ta = jnp.concatenate([taus[:-1], jnp.full((npad,), taus[-1], dtype)])
+        tb = jnp.concatenate([taus[1:], jnp.full((npad,), taus[-1], dtype)])
+        xs = (ta.reshape(remat_chunks, chunk), tb.reshape(remat_chunks, chunk))
+
+        @jax.checkpoint
+        def chunk_step(y, xs_chunk):
+            return jax.lax.scan(step, y, xs_chunk)
+
+        y_final, outs = jax.lax.scan(chunk_step, y0, xs)
+        outs = jax.tree_util.tree_map(
+            lambda o: o.reshape((remat_chunks * chunk,) + o.shape[2:])
+            [:n_steps], outs)
+    else:
+        xs = (taus[:-1], taus[1:])
+        y_final, outs = jax.lax.scan(step, y0, xs)
     s0, s1, s2, slens, dm_t, dmdot_t, weyl_t = outs   # (nstep-1, nk)
 
     # prepend the first node (sources ~ 0 deep in TC: vis ~ 0)

@@ -205,6 +205,10 @@ class CMBPosterior:
     #: and the DE fluid perturbations when w/wa are sampled or non-LCDM
     massive_nu_hierarchy: object = "auto"    # "auto" | bool
     de_perturbations: object = "auto"        # "auto" | bool
+    #: sqrt-style checkpointing of the Boltzmann scan for reverse-mode
+    #: (HMC/minimizer full-path gradients): 0 = off; ~64-128 bounds the
+    #: reverse pass to ~(nstep/chunks + chunks) states instead of nstep
+    remat_chunks: int = 0
     #: False = LSS-only run (astro parameterization): skip the C_l stack,
     #: compute only background + thermal history + matter power
     use_cmb: bool = True
@@ -359,7 +363,8 @@ class CMBPosterior:
                 bg, tau_re, yhe, k, return_thermo=True,
                 n_step=self.n_step_boltzmann,
                 massive_nu=self.massive_nu_hierarchy,
-                de_perts=self.de_perturbations)
+                de_perts=self.de_perturbations,
+                remat_chunks=self.remat_chunks)
             method = self.los_method
             if method == "auto":
                 import jax

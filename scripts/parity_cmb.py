@@ -127,7 +127,11 @@ def main():
         sig = np.sqrt(np.diag(prop.covariance))
     except Exception:
         sig = np.array([p.propose_width for p in post.space.varying])
-    P0 = P0 + 2.0 * sig * rng.standard_normal(P0.shape)
+    # PARITY_START_SCALE: 2.0 = overdispersed recovery run (R-1 needs a
+    # long run to settle); ~0.3 = near-equilibrium start for a low-MC-noise
+    # measurement of the pure theory bias
+    start_scale = float(os.environ.get("PARITY_START_SCALE", 2.0))
+    P0 = P0 + start_scale * sig * rng.standard_normal(P0.shape)
     lo = np.array([p.min for p in post.space.varying])
     hi = np.array([p.max for p in post.space.varying])
     P0 = np.clip(P0, lo, hi).astype(npdt)
