@@ -15,8 +15,9 @@ stderr; stdout carries only the JSON line.
 Platform notes (axon TPU backend, empirically characterized r3-r4):
   - kernel-faults on device executions longer than ~60s (a watchdog), so
     segments are scheduled with EXACTLY ONE full-Boltzmann slow step each
-    (proposal.make_schedule(slow_every=...)) and the chain count is kept
-    at BENCH_CMB_CHAINS=8 (slow stage ~3s/chain, VPU-saturated);
+    (proposal.make_schedule(slow_every=...)); the r5 LOS tau-striding +
+    series rework cut the slow stage to ~0.8 s/chain, so
+    BENCH_CMB_CHAINS=32 fits a segment in ~30 s;
   - gathers run ~100x below memory speed, so the CMB path uses the
     recurrence LOS integrator (models/cls.py), not the Bessel-table one;
   - sampler segments with segment_steps * nchains > 65536 fault
@@ -108,7 +109,7 @@ def bench_cmb(smoke: bool) -> dict:
     from cosmomc_tpu.sampling.staged import StagedMetropolisSampler
 
     dtype = jnp.float32
-    nchains = int(os.environ.get("BENCH_CMB_CHAINS", 8))
+    nchains = int(os.environ.get("BENCH_CMB_CHAINS", 32))
     seg_steps = 16
     n_burn = 1 if smoke else 2
     n_timed = 2 if smoke else 6

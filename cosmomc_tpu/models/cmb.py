@@ -78,14 +78,15 @@ def cls_from_transfers(po: PerturbationOutput, chi_star, pp: PrimordialParams,
                        tcmb_k: float = 2.7255, lmax: int = 2500,
                        tau0_hint: float = 14700.0, kmax_hint: float = 0.6,
                        points_per_osc: float = 4.0,
-                       coarse_k: np.ndarray | None = None) -> CMBSpectra:
+                       coarse_k: np.ndarray | None = None,
+                       tau_stride: int = 1) -> CMBSpectra:
     """Semi-slow stage (TransfersToPowers): apply primordial power, get
     C_l in l(l+1)C_l/2pi muK^2 units (reference CosmoTheory convention).
     Pass the concrete host `coarse_k` grid to enable the static cubic
     source interpolation (measured ~2%% acoustic bias without it)."""
     raw = compute_cls(po, pp, chi_star, lmax=lmax, tau0_hint=tau0_hint,
                       kmax_hint=kmax_hint, points_per_osc=points_per_osc,
-                      coarse_k=coarse_k)
+                      coarse_k=coarse_k, tau_stride=tau_stride)
     muk2 = (tcmb_k * 1e6) ** 2
     return CMBSpectra(raw.ls, raw.tt * muk2, raw.te * muk2, raw.ee * muk2,
                       raw.pp)

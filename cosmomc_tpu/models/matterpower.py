@@ -200,10 +200,11 @@ def halofit_takahashi(bg: BackgroundParams, k: jnp.ndarray,
 
     # background quantities at each z
     a = 1.0 / (1.0 + z)
-    grho_g, grho_n, grho_c, grho_b, grho_de, grho_k = _grho_terms(bg, a)
-    grho_m = grho_c + grho_b
+    grho_g, grho_n, grho_num, gpres_num, grho_c, grho_b, grho_de, grho_k = \
+        _grho_terms(bg, a)
     # treat massive nu as matter in Omega_m(z) for the halofit background
-    # (CAMB halofit uses omm including nu); difference is tiny for 0.06 eV
+    # (CAMB halofit uses omm including nu)
+    grho_m = grho_c + grho_b + grho_num
     grho_tot = grho_g + grho_n + grho_m + grho_de + grho_k
     om_m = grho_m / grho_tot
     om_de = grho_de / grho_tot

@@ -136,9 +136,19 @@ N_STEP = 8192     # shared tau grid length (static)
 RSA_KTAU = 240.0
 
 # tight-coupling release thresholds (see make_rhs and build_thermo_funcs):
-# lanes leave TCA when k*tauc >= TC_KTAUC AND opac*(1+R) <= TC_LAM_MAX;
-# the shared grid resolves opacities only up to TC_LAM_MAX (1.2/lam rule)
+# lanes leave TCA when (k*tauc >= TC_KTAUC or opac*tau <= TC_OPACTAU) AND
+# opac*(1+R) <= TC_LAM_MAX; the shared grid resolves opacities only up to
+# TC_LAM_MAX (1.2/lam rule). TC_OPACTAU is the reference's tight_tau
+# criterion (modules.f90:2809, release everywhere once 1/(opac*tau) >
+# 0.005): WITHOUT it, low-k lanes (k <~ 2e-3) stayed in first-order TCA
+# through the first half of the visibility function, where the
+# quasi-static F2/polarization slip is invalid (opacity varies on a
+# free-path timescale) — measured as a -25..-30% deficit in the
+# recombination EE tail at l=12-50 (the bump-trough region). opac*tau =
+# 200 crosses at z ~ 1500 where opac*(1+R) ~ 3, so the existing grid
+# density rule already resolves the released stiffness.
 TC_KTAUC = 0.015
+TC_OPACTAU = 200.0
 TC_LAM_MAX = 150.0
 
 
@@ -309,19 +319,32 @@ def build_thermo_funcs(bg: BackgroundParams, yhe, tau_reion: float | jnp.ndarray
 
 
 def _grho_terms(bg: BackgroundParams, a):
-    """8 pi G a^2 rho_i in Mpc^-2 for each species (radiation splits)."""
+    """8 pi G a^2 rho_i in Mpc^-2 for each species.
+
+    Returns (grho_g, grho_n, grho_num, gpres_num, grho_c, grho_b, grho_de,
+    grho_k): grho_n is the MASSLESS neutrino part only; grho_num/gpres_num
+    are the EXACT massive-eigenstate density/pressure from the tabulated
+    momentum integrals (neutrino.nu_rho/nu_pres, the camb/modules.f90
+    Nu_rho analog). Using the exact massive background inside the
+    perturbation constraints matters even when the perturbation SHAPE is
+    approximated as massless: the radiation-scaled massive density is
+    ~40x low at z=0, and the resulting H(a) inconsistency drove a
+    measured +2% artificial late-ISW excess at l=2-10."""
+    from cosmomc_tpu.models.neutrino import nu_rho, nu_pres
     d = _densities(bg)
     C = 3.0 * H100_MPC ** 2
     grho_g = C * d["ogh2"] / a ** 2
-    # treat all neutrinos as massless radiation in perturbations
-    grho_n = C * d["onu1"] * (d["massless_deg"] + d["massive_deg"]
-                              * 1.0) / a ** 2
+    grho_n = C * d["onu1"] * d["massless_deg"] / a ** 2
+    gml = C * d["onu1"] * d["massive_deg"] / a ** 2  # massless-equivalent
+    am = a * d["nu_mass"]
+    grho_num = gml * nu_rho(am)
+    gpres_num = gml * nu_pres(am)
     grho_c = C * bg.omch2 / a
     grho_b = C * bg.ombh2 / a
     grho_de = C * d["omdeh2"] * a ** (2.0 - 3.0 * (1.0 + bg.w + bg.wa)) \
         * jnp.exp(-3.0 * bg.wa * (1.0 - a))
     grho_k = C * d["omkh2"]      # curvature (a^0 in a^2 rho units... a^2*a^-2)
-    return grho_g, grho_n, grho_c, grho_b, grho_de, grho_k
+    return grho_g, grho_n, grho_num, gpres_num, grho_c, grho_b, grho_de, grho_k
 
 
 def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU,
@@ -346,16 +369,15 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU,
         a = interp(tf.a, tau)
         opac = interp(tf.opac, tau)
         csqb = interp(tf.csqb, tau)
-        grho_g, grho_n_all, grho_c, grho_b, grho_de, grho_k = \
-            _grho_terms(bg, a)
+        grho_g, grho_n, grho_num, gpres_num, grho_c, grho_b, grho_de, \
+            grho_k = _grho_terms(bg, a)
         d_bg = _densities(bg)
         if massive_nu:
-            # split the neutrino share: massless part keeps the F hierarchy,
-            # the massive eigenstate gets the exact background density and
-            # the Psi_l(q) sums below
-            deg_tot = d_bg["massless_deg"] + d_bg["massive_deg"]
-            gml = grho_n_all * d_bg["massive_deg"] / deg_tot   # massless-equiv
-            grho_n = grho_n_all * d_bg["massless_deg"] / deg_tot
+            # massless part keeps the F hierarchy; the massive eigenstate
+            # gets the quadrature background factors consistent with the
+            # Psi_l(q) sums below (same 4-node measure)
+            C3 = 3.0 * H100_MPC ** 2
+            gml = C3 * d_bg["onu1"] * d_bg["massive_deg"] / a ** 2
             am = a * d_bg["nu_mass"]
             eps_q = jnp.sqrt(nu_q ** 2 + am ** 2)              # (NQ,)
             rho_fac = jnp.sum(nu_wn * eps_q / nu_q)            # = nu_rho(am)
@@ -363,8 +385,22 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU,
             grho_m = gml * rho_fac
             gpres_m = gml * p_fac / 3.0
         else:
-            grho_n = grho_n_all
-            grho_m = gpres_m = 0.0
+            # small-mnu default: treat the massive eigenstate as massless
+            # radiation CONSISTENTLY (background H inside the rhs AND the
+            # perturbed stress-energy). Measured on the l=2-10 late-ISW
+            # bands at mnu=0.06 eV: this self-consistent system errs +4.4%
+            # on TT 2-10, while 'improving' only the background to the
+            # exact massive rho/p (keeping either perturbation weighting)
+            # errs -8% or +5.4% — the partial fixes break the perturbed
+            # conservation law and do worse than the consistent massless
+            # limit. The full momentum hierarchy (massive_nu=True, +2.1%
+            # residual dominated by other low-l terms) engages when mnu is
+            # sampled; for fixed 0.06 eV the l<=10 error is far below
+            # cosmic variance.
+            C3 = 3.0 * H100_MPC ** 2
+            gml_rad = C3 * d_bg["onu1"] * d_bg["massive_deg"] / a ** 2
+            grho_m = gml_rad
+            gpres_m = gml_rad / 3.0
         grho = grho_g + grho_n + grho_m + grho_c + grho_b + grho_de
         adotoa = jnp.sqrt((grho + grho_k) / 3.0)          # conformal H = a'/a
         w_de = bg.w + bg.wa * (1.0 - a)
@@ -397,8 +433,10 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU,
         # few-percent approximation on delta_b at k >~ 1/Mpc, irrelevant for
         # C_l (kmax=0.45) and small for P(k) (Silk-damped modes).
         rsa = k * tau >= rsa_ktau
-        tc_off = jnp.logical_and(k * tauc >= TC_KTAUC,
-                                 opac * (1.0 + R_bg) <= TC_LAM_MAX)
+        tc_off = jnp.logical_and(
+            jnp.logical_or(k * tauc >= TC_KTAUC,
+                           opac * tau <= TC_OPACTAU),
+            opac * (1.0 + R_bg) <= TC_LAM_MAX)
         tc_on = jnp.logical_and(jnp.logical_not(tc_off),
                                 jnp.logical_not(rsa))
 
@@ -439,7 +477,12 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU,
                 (2.0 / 3.0) * gml * jnp.sum(
                     nu_wn * (nu_q / eps_q) * psi_nu[:, 2]))
         else:
-            dgrho_m = dgq_m = dgpi_m = 0.0
+            # radiation-equivalent perturbation weights on the massless
+            # hierarchy shape (dn/tn already carry the RSA slaving above)
+            wnu_m = (4.0 / 3.0) * gml_rad
+            dgrho_m = gml_rad * dn
+            dgq_m = wnu_m * tn
+            dgpi_m = wnu_m * jnp.where(rsa, 0.0, fn[0] / 2.0)
         if de_perts:
             de_delta = y[i_de]
             de_V = y[i_de + 1]
@@ -599,11 +642,17 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU,
         # sigma' values for psi' (ISW): from the evolved/TCA derivative
         sigg_dot = jnp.where(frozen, jnp.zeros_like(fg2dot), fg2dot) / 2.0
         sign_dot = jnp.where(rsa, jnp.zeros_like(fn2dot), fn2dot) / 2.0
+        # effective massless-pattern neutrino weight for the psidot (ISW)
+        # derivative in sources_at: in massless-shape mode the massive
+        # eigenstate's (rho+p) sigma_n rides the same (4/3) grho_n pattern
+        # (its weight derivative uses the radiation rule — the O(am')
+        # error sits on a term that is itself a tiny share of psidot)
+        grho_n_isw = grho_n if massive_nu else grho_n + gml_rad
         aux = dict(a=a, adotoa=adotoa, hdot=hdot, etadot=etadot, dgpi=dgpi,
                    opac=opac, grho=grho, gpres=gpres,
                    sigma_g=sigma_g, sigma_n=sigma_n,
                    sigg_dot=sigg_dot, sign_dot=sign_dot,
-                   grho_g=grho_g, grho_n=grho_n, grho_b=grho_b,
+                   grho_g=grho_g, grho_n=grho_n_isw, grho_b=grho_b,
                    grho_c=grho_c, tbdot=tbdot, pol_term=pol_term,
                    dgpidot_extra=dgpidot_extra)
         return dy, aux
@@ -656,12 +705,14 @@ def adiabatic_ics(bg: BackgroundParams, tf: ThermoFuncs, k, tau,
 def measure_curvature(bg: BackgroundParams, tf: ThermoFuncs, y, k, tau):
     """Comoving curvature R = eta - (a'/a) * sum (rho+p) theta / (k^2 sum(rho+p))."""
     a = jnp.interp(tau, tf.tau, tf.a)
-    grho_g, grho_n, grho_c, grho_b, grho_de, grho_k = _grho_terms(bg, a)
-    grho = grho_g + grho_n + grho_c + grho_b + grho_de
+    grho_g, grho_n, grho_num, gpres_num, grho_c, grho_b, grho_de, grho_k = \
+        _grho_terms(bg, a)
+    grho = grho_g + grho_n + grho_num + grho_c + grho_b + grho_de
     adotoa = jnp.sqrt((grho + grho_k) / 3.0)
-    num = (4.0 / 3.0) * (grho_g * y[_I_TG] + grho_n * y[_I_TN]) \
+    wnu = (4.0 / 3.0) * grho_n + grho_num + gpres_num
+    num = (4.0 / 3.0) * grho_g * y[_I_TG] + wnu * y[_I_TN] \
         + grho_b * y[_I_TB]
-    den = (4.0 / 3.0) * (grho_g + grho_n) + grho_b + grho_c
+    den = (4.0 / 3.0) * grho_g + wnu + grho_b + grho_c
     return y[_I_ETA] - adotoa * num / (k * k * den)
 
 
@@ -828,9 +879,11 @@ def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
     dm_z = snap(dm_t)          # (nk, nz)
     dmdot_z = snap(dmdot_t)
     weyl_z = snap(weyl_t)
-    # conformal aH at the output times (for growth rates)
+    # conformal aH at the output times (for growth rates); drop the
+    # massive-nu PRESSURE term (index 3) from the density sum
     grhos = _grho_terms(bg, a_out)
-    aH_out = jnp.sqrt((sum(grhos[:5]) + grhos[5]) / 3.0)
+    aH_out = jnp.sqrt((grhos[0] + grhos[1] + grhos[2] + grhos[4] + grhos[5]
+                       + grhos[6] + grhos[7]) / 3.0)
 
     norm = r_init
     return PerturbationOutput(

@@ -100,8 +100,9 @@ def make_tensor_rhs(bg: BackgroundParams, tf: ThermoFuncs,
     def rhs(tau, y, k):
         a = interp(tf.a, tau)
         opac = interp(tf.opac, tau)
-        grho_g, grho_n, grho_c, grho_b, grho_de, grho_k = _grho_terms(bg, a)
-        grho = grho_g + grho_n + grho_c + grho_b + grho_de
+        grho_g, grho_n, grho_num, gpres_num, grho_c, grho_b, grho_de, \
+            grho_k = _grho_terms(bg, a)
+        grho = grho_g + grho_n + grho_num + grho_c + grho_b + grho_de
         adotoa = jnp.sqrt((grho + grho_k) / 3.0)
 
         ht, htp = y[_I_HT], y[_I_HTP]

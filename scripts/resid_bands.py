@@ -41,10 +41,12 @@ nklog = int(os.environ.get("NKLOG", 48))
 k = source_k_grid(nk_log=nklog, nk_lin=nklin)
 nstep = int(os.environ.get("NSTEP", 0))
 po, chi_star = compute_transfers(bg, jnp.float64(tau), jnp.float64(yhe), k,
-                                 n_step=nstep)
+                                 n_step=nstep,
+                                 massive_nu=bool(os.environ.get("MNU")))
 ppo = float(os.environ.get("PPO", 4.0))
 spec = cls_from_transfers(po, chi_star, pp, lmax=lmax, points_per_osc=ppo,
-                          coarse_k=k)
+                          coarse_k=k,
+                          tau_stride=int(os.environ.get("TSTRIDE", 1)))
 if os.environ.get("UNLENSED"):
     out = spec
 else:

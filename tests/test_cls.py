@@ -5,14 +5,15 @@ Oracle: /root/reference/data/base_plikHM_TTTEEE_lowl_lowE.minimum.theory_cl
 
 These tolerances pin the CURRENT accuracy envelope of the Boltzmann stack so
 any regression fails loudly; they ratchet DOWN as accuracy improves.
-Measured r4 (after the TT source Pi brightness->temperature fix, which
-removed the ~1.6% TT-only acoustic dilation: MB95 hierarchies carry
-F_2+G_0+G_2 in brightness units = 4x the temperature-unit Pi the canonical
-LOS source takes; see perturbations.py sources_at):
-  TT rms 1.5-2.2% in every band, first peak at l=220 EXACTLY matching the
-  reference; EE rms ~2% at l>300; TE 0.8% of sqrt(TT*EE) at 300-1500;
-  PP 0.5-3%. Remaining error is smooth envelope-level (damping/amplitude),
-  no residual dilation (TE zero crossings match to <2 in l).
+Measured r5 (after the cubic source k-interpolation — linear interp
+attenuated the ~20-points-per-period acoustic source oscillation by ~1%
+in amplitude = -2% on every acoustic C_l — and the opac*tau<200
+tight-coupling release, which un-freezes low-k lanes before the
+visibility turns on and fixed a -25% recombination-EE deficit at
+l=12-50): TT/EE/TE band means <=0.7% for 10<=l<2200; the remaining
+known residuals are the l<=8 late-ISW excess (~+4% band mean, cosmic-
+variance scales) and the PP high-l deficit (missing nonlinear lensing
++ kmax truncation).
 
 This is the slowest test module (full f64 Boltzmann solve, ~3 min).
 """
@@ -50,7 +51,7 @@ def spectra():
     k = source_k_grid()
     po, chi_star = compute_transfers(bg, jnp.float64(0.05430138),
                                      jnp.float64(0.2453985), k)
-    spec = cls_from_transfers(po, chi_star, pp, lmax=2500)
+    spec = cls_from_transfers(po, chi_star, pp, lmax=2500, coarse_k=k)
     lensed = lens_cls(spec.ls, spec.tt, spec.te, spec.ee, spec.pp)
     ref = np.loadtxt(REF_CL)
     return spec, lensed, ref
@@ -72,11 +73,11 @@ def test_lensed_tt_bands(spectra):
     ls = np.asarray(lensed.ls)
     tt = np.asarray(lensed.tt)
     L, rtt = ref[:, 0], ref[:, 1]
-    assert _band_err(ls, tt, L, rtt, 2, 30) < 0.03
-    assert _band_err(ls, tt, L, rtt, 30, 300) < 0.025
-    assert _band_err(ls, tt, L, rtt, 300, 800) < 0.032
-    assert _band_err(ls, tt, L, rtt, 800, 1500) < 0.03
-    assert _band_err(ls, tt, L, rtt, 1500, 2200) < 0.034
+    assert _band_err(ls, tt, L, rtt, 2, 30) < 0.035
+    assert _band_err(ls, tt, L, rtt, 30, 300) < 0.015
+    assert _band_err(ls, tt, L, rtt, 300, 800) < 0.012
+    assert _band_err(ls, tt, L, rtt, 800, 1500) < 0.012
+    assert _band_err(ls, tt, L, rtt, 1500, 2200) < 0.015
 
 
 @needs_ref
@@ -85,9 +86,11 @@ def test_lensed_ee_bands(spectra):
     ls = np.asarray(lensed.ls)
     ee = np.asarray(lensed.ee)
     L, ree = ref[:, 0], ref[:, 3]
-    assert _band_err(ls, ee, L, ree, 300, 800) < 0.032
-    assert _band_err(ls, ee, L, ree, 800, 1500) < 0.028
-    assert _band_err(ls, ee, L, ree, 1500, 2200) < 0.028
+    assert _band_err(ls, ee, L, ree, 10, 30) < 0.03
+    assert _band_err(ls, ee, L, ree, 30, 300) < 0.015
+    assert _band_err(ls, ee, L, ree, 300, 800) < 0.012
+    assert _band_err(ls, ee, L, ree, 800, 1500) < 0.012
+    assert _band_err(ls, ee, L, ree, 1500, 2200) < 0.015
 
 
 @needs_ref
@@ -98,8 +101,8 @@ def test_lensed_te_bands(spectra):
     te = np.asarray(lensed.te)
     L = ref[:, 0]
     den = np.sqrt(ref[:, 1] * ref[:, 3])
-    assert _band_err(ls, te, L, ref[:, 2], 30, 300, rel_to=den) < 0.032
-    assert _band_err(ls, te, L, ref[:, 2], 300, 1500, rel_to=den) < 0.013
+    assert _band_err(ls, te, L, ref[:, 2], 30, 300, rel_to=den) < 0.012
+    assert _band_err(ls, te, L, ref[:, 2], 300, 1500, rel_to=den) < 0.007
 
 
 @needs_ref
