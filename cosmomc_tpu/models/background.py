@@ -348,7 +348,17 @@ def h0_from_theta(theta_target, make_bg, lo=20.0, hi=120.0, iters=50):
 
     (lo_f, hi_f), _ = jax.lax.scan(
         body, (jnp.asarray(lo, dtype), jnp.asarray(hi, dtype)), None, length=iters)
-    return 0.5 * (lo_f + hi_f)
+    mid = jax.lax.stop_gradient(0.5 * (lo_f + hi_f))
+    # Newton polish: the bisection midpoint depends on the inputs only
+    # through boolean branch decisions, so its derivative is identically
+    # ZERO — HMC/minimizer gradients through theta (and through
+    # ombh2/omch2 via theta(H0)'s shape) silently vanished. One Newton
+    # step from the (converged) midpoint leaves the value unchanged at
+    # ~1e-13 but carries the implicit-function derivative
+    # dH0/dp = -(d f/d p)/(d f/d H0).
+    f_val, f_h0 = jax.value_and_grad(
+        lambda h: cosmomc_theta(make_bg(h)) * 100.0 - theta_target)(mid)
+    return mid - f_val / f_h0
 
 
 # ---------------------------------------------------------------------------

@@ -189,6 +189,46 @@ def _gauss_sigma2(lnk, d2, lnR):
     return s2, ds2, dds2
 
 
+#: redshift nodes for the CMB-lensing nonlinear scaling (dense at low z
+#: where the halofit boost grows; ratio -> 1 above z ~ 10)
+LENS_NL_Z = (0.0, 0.25, 0.5, 0.8, 1.2, 1.7, 2.3, 3.0, 4.0, 5.5, 7.5, 10.0)
+
+
+def lensing_nl_ratio(bg: BackgroundParams, pp_fid, k_coarse: jnp.ndarray,
+                     dm_z: jnp.ndarray, z_nodes) -> jnp.ndarray:
+    """sqrt(P_NL/P_lin)(k, z) on the SOURCE k grid at `z_nodes` — the
+    multiplier CAMB applies to the lensing source before the LOS integral
+    (cmbmain.f90 MakeNonlinearSources, NonLinear = NonLinear_Lens: the
+    Planck-baseline configuration). `dm_z` are the (nz, nk) matter
+    transfers per unit curvature from the CMB evolution; `pp_fid` is a
+    FIXED fiducial primordial spectrum — using the sampled As/ns here
+    would couple the slow transfer cache to the semi-slow power
+    parameters and break the staged-sampler economics (the ratio's
+    As-dependence is second order: d(boost)/dlnAs ~ boost-1 ~ few %).
+
+    The sigma^2 integrals need P(k) beyond the source kmax (~0.45):
+    the spectrum is extended to k = 8 with a log-linear (power-law) tail
+    matched to the mean slope of the last decade — adequate for the
+    k_sigma fixed point at the few-percent level of (boost-1)."""
+    k_coarse = jnp.asarray(k_coarse)
+    dtype = dm_z.dtype
+    z = jnp.asarray(z_nodes, dtype)
+    P = jax.vmap(lambda t: _power_from_transfer(pp_fid, k_coarse, t))(dm_z)
+    lnP = jnp.log(P + 1e-120)    # additive floor: see halofit note
+    # power-law tail: slope from the last decade of the coarse grid
+    lnk = jnp.log(k_coarse)
+    n_tail = 16
+    slope = (lnP[:, -1] - lnP[:, -n_tail]) / (lnk[-1] - lnk[-n_tail])
+    k_ext_np = np.exp(np.linspace(np.log(1.03), np.log(8.0), 24))
+    k_ext = jnp.asarray(k_ext_np, dtype) * k_coarse[-1]
+    lnP_ext = lnP[:, -1:] + slope[:, None] * (jnp.log(k_ext) - lnk[-1])[None, :]
+    k_all = jnp.concatenate([k_coarse, k_ext])
+    lnP_all = jnp.concatenate([lnP, lnP_ext], axis=1)
+    lnP_nl = halofit_takahashi(bg, k_all, lnP_all, z)
+    nk = k_coarse.shape[0]
+    return jnp.exp(0.5 * (lnP_nl[:, :nk] - lnP_all[:, :nk]))
+
+
 def halofit_takahashi(bg: BackgroundParams, k: jnp.ndarray,
                       lnP_lin: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     """Nonlinear ln P(k,z) from linear, Takahashi 2012 fit (with the
@@ -227,8 +267,15 @@ def halofit_takahashi(bg: BackgroundParams, k: jnp.ndarray,
         s2, ds2, dds2 = _gauss_sigma2(lnk, d2, lnR)
         # n_eff = -3 - dln sigma^2/dlnR ; C = -d^2 ln sigma^2 / dlnR^2
         dln = ds2 / s2
-        neff = -3.0 - dln
-        C = -(dds2 / s2 - dln ** 2)
+        # clamp to the fit's physical domain: when the sigma^2 = 1 scale
+        # is not bracketed (tiny-kmax smoke configs, very high z) the
+        # fixed-count bisection saturates and the raw n_eff/C are garbage
+        # that overflows the 10**(...) amplitudes — inf forward values are
+        # harmless here (d2h -> 0) but their reverse-mode cotangent chain
+        # is 0 * inf = NaN, and f32 overflows outright. The clamps are
+        # inactive in the physical regime (n_eff ~ -2.5..-1, C ~ 0.2-1).
+        neff = jnp.clip(-3.0 - dln, -3.8, 1.5)
+        C = jnp.clip(-(dds2 / s2 - dln ** 2), -3.0, 3.0)
         ksig = jnp.exp(-lnR)
 
         # --- Takahashi 2012 eqs (A6-A13) ---
@@ -259,8 +306,12 @@ def halofit_takahashi(bg: BackgroundParams, k: jnp.ndarray,
                                        + (cn * f3 * y) ** (3.0 - gam))
         d2h = d2hp / (1.0 + mu / y + nu / y ** 2)
         d2nl = d2q + d2h
-        return jnp.log(jnp.maximum(d2nl, 1e-300)
-                       * (2.0 * jnp.pi ** 2) / k ** 3)
+        # additive floor, not max(): the max() floor has derivative
+        # 1/floor = 1e300 whenever d2nl underflows (tiny-k or far-tail
+        # lattice points), which overflows reverse-mode cotangents to
+        # +-inf and poisons the whole gradient; the additive form keeps
+        # d log/d d2nl * d d2nl/d p bounded
+        return jnp.log((d2nl + 1e-30) * (2.0 * jnp.pi ** 2) / k ** 3)
 
     return jax.vmap(per_z)(d2_lin, om_m, om_de, w_z)
 

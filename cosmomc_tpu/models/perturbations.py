@@ -365,6 +365,9 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU,
     def interp(tab, tau):
         return jnp.interp(tau, tf.tau, tab)
 
+    # local grid spacing, for the resolution-aware TCA release below
+    dtau_tab = jnp.concatenate([jnp.diff(tf.tau), jnp.diff(tf.tau)[-1:]])
+
     def rhs(tau, y, k):
         a = interp(tf.a, tau)
         opac = interp(tf.opac, tau)
@@ -433,10 +436,20 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU,
         # few-percent approximation on delta_b at k >~ 1/Mpc, irrelevant for
         # C_l (kmax=0.45) and small for P(k) (Silk-damped modes).
         rsa = k * tau >= rsa_ktau
+        # release from TCA only where the LOCAL grid step resolves the
+        # released photon-baryon stiffness: lam*dtau <= 1.3 (the grid
+        # builder targets 1.2/lam wherever lam <= TC_LAM_MAX, so on the
+        # full-size grid this matches the lam <= TC_LAM_MAX criterion; on
+        # coarse smoke/test grids it automatically keeps lanes tight-
+        # coupled where explicit RK4 would blow up — releasing on a
+        # resolution the grid doesn't have produced NaN sources at
+        # n_step=1024 after the opac*tau release was added)
+        dt_loc = interp(dtau_tab, tau)
+        lam = opac * (1.0 + R_bg)
         tc_off = jnp.logical_and(
             jnp.logical_or(k * tauc >= TC_KTAUC,
                            opac * tau <= TC_OPACTAU),
-            opac * (1.0 + R_bg) <= TC_LAM_MAX)
+            lam * dt_loc <= 1.3)
         tc_on = jnp.logical_and(jnp.logical_not(tc_off),
                                 jnp.logical_not(rsa))
 

@@ -28,6 +28,7 @@ recombination (validated against pinned CAMB thermal values in tests).
 from __future__ import annotations
 
 from typing import NamedTuple
+import os as _os
 
 import numpy as np
 import jax
@@ -119,9 +120,21 @@ def compute_thermo(bg: BackgroundParams, yhe: float | jnp.ndarray = 0.245,
     def quad_root(B, C):
         """Positive root of x^2 + B x - C = 0, cancellation-free in both
         signs of B (float32-safe: the naive 0.5*(sqrt(B^2+4C)-B) loses all
-        precision for B >> sqrt(C), saturating the Saha branches)."""
-        disc = jnp.sqrt(B * B + 4.0 * C)
-        return jnp.where(B > 0.0, 2.0 * C / (disc + B), 0.5 * (disc - B))
+        precision for B >> sqrt(C), saturating the Saha branches).
+        The tiny floor under the sqrt keeps d sqrt/dB finite when the Saha
+        exponentials underflow to exactly zero (B = C = 0 at low z):
+        sqrt'(0) = 0/0 = NaN otherwise poisons reverse-mode cotangents of
+        every downstream where-branch (the measured grad-NaN wrt ombh2
+        through the whole thermal history)."""
+        tiny = jnp.asarray(jnp.finfo(jnp.asarray(B).dtype).tiny)
+        disc = jnp.sqrt(B * B + 4.0 * C + tiny)
+        # double-where: for B < 0 with C underflowed to 0 the unselected
+        # branch is 0/(disc+B) = 0/0 = NaN, which reverse-mode turns into
+        # NaN cotangents (0 * NaN) for every parameter feeding the Saha
+        # coefficients — guard the denominator so the dead branch stays
+        # finite
+        den = jnp.where(B > 0.0, disc + B, 1.0)
+        return jnp.where(B > 0.0, 2.0 * C / den, 0.5 * (disc - B))
 
     def saha_he2(z):
         """He++ <-> He+ Saha solution for total x_e."""
@@ -202,22 +215,34 @@ def compute_thermo(bg: BackgroundParams, yhe: float | jnp.ndarray = 0.245,
         dz = z - z_prev          # negative
         xe_tot = xH + fHe * xHe
 
-        # --- implicit (backward Euler + 1 Newton) ODE updates -------------
-        def be_update(x, rhs_fn):
-            # solve x_new = x + dz * f(z, x_new) with one Newton iteration
-            # started from forward-Euler predictor; f is stiff-decaying so
-            # this is stable, and a second iteration refines
+        # --- implicit (Crank-Nicolson + 2 Newton) ODE updates -------------
+        # Second order requires TIME-CORRECT coefficients on each side of
+        # the trapezoidal average, not just in the unknown: the Boltzmann
+        # factors are steep in T_M (dln rate/dln T ~ 13 at recombination),
+        # so a one-step-lagged tm is itself an O(dz) bias of the same size
+        # as the backward-Euler one (z_star late by 1.5 at n_z=8000,
+        # first-order-converging to the reference 1089.92 — a +0.09% r_s
+        # error, a -0.1% acoustic dilation, a -3 sigma theta parity
+        # shift). Update order: tm first (Compton-slaved, its own xe lag
+        # is second-order), then He (xH=1 while He recombines), then H
+        # (using the new xHe).
+        def cn_update(x, f_prev, rhs_new_fn):
             def g(xn):
-                return xn - x - dz * rhs_fn(z, xn)
-            xp = x + dz * rhs_fn(z_prev, x)
+                return xn - x - 0.5 * dz * (f_prev + rhs_new_fn(xn))
+            xp = x + dz * f_prev
             for _ in range(2):
                 gp = jax.grad(lambda t: g(t))(xp)
                 xp = xp - g(xp) / jnp.where(jnp.abs(gp) > 1e-12, gp, 1.0)
             return xp
 
-        xH_ode = be_update(xH, lambda zz, xx: dxH_dz(zz, xx, xx + fHe * xHe, tm))
-        xHe_ode = be_update(xHe, lambda zz, xx: dxHe_dz(zz, xx, xH + fHe * xx, tm))
-        tm_new = be_update(tm, lambda zz, tt: dTm_dz(zz, xe_tot, tt))
+        tm_new = cn_update(tm, dTm_dz(z_prev, xe_tot, tm),
+                           lambda tt: dTm_dz(z, xe_tot, tt))
+        xHe_ode = cn_update(
+            xHe, dxHe_dz(z_prev, xHe, xH + fHe * xHe, tm),
+            lambda xx: dxHe_dz(z, xx, xH + fHe * xx, tm_new))
+        xH_ode = cn_update(
+            xH, dxH_dz(z_prev, xH, xH + fHe * xHe, tm),
+            lambda xx: dxH_dz(z, xx, xx + fHe * xHe_ode, tm_new))
 
         # --- regime selection --------------------------------------------
         xe_he2 = saha_he2(z)                 # includes He++ phase
@@ -240,7 +265,18 @@ def compute_thermo(bg: BackgroundParams, yhe: float | jnp.ndarray = 0.245,
         new = (xH_new, xHe_new, tm_out)
         return new, (xe_out, tm_out)
 
-    _, (xe, tm) = jax.lax.scan(step, init, (zs[:-1], zs[1:]))
+    if _os.environ.get("COSMOMC_RECFAST_UNROLL"):
+        # debugging aid: python-loop the steps so jax_debug_nans can trap
+        # the exact primitive inside the step (lax.scan reports only
+        # "nan encountered in scan")
+        carry, xes, tms = init, [], []
+        for i in range(int(zs.shape[0]) - 1):
+            carry, (xe_i, tm_i) = step(carry, (zs[i], zs[i + 1]))
+            xes.append(xe_i)
+            tms.append(tm_i)
+        xe, tm = jnp.stack(xes), jnp.stack(tms)
+    else:
+        _, (xe, tm) = jax.lax.scan(step, init, (zs[:-1], zs[1:]))
     xe = jnp.concatenate([jnp.array([1.0 + 2.0 * fHe], dtype), xe])
     tm = jnp.concatenate([jnp.array([tcmb * (1.0 + z0)], dtype), tm])
     return ThermoHistory(zs, xe, tm)

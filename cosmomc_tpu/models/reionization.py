@@ -61,4 +61,12 @@ def zre_from_tau(bg: BackgroundParams, tau, yhe, iters: int = 30):
         return (jnp.where(low, mid, lo_), jnp.where(low, hi_, mid)), None
 
     (lo_f, hi_f), _ = jax.lax.scan(body, (lo, hi), None, length=iters)
-    return 0.5 * (lo_f + hi_f)
+    mid = jax.lax.stop_gradient(0.5 * (lo_f + hi_f))
+    # Newton polish: bisection output has identically-zero derivatives
+    # (branch-only dependence); one Newton step restores the implicit-
+    # function gradient d zre/d tau = 1/tau'(zre) (and the ombh2/H0
+    # dependence through the optical-depth integral) for HMC/minimizer
+    # use, leaving the converged value unchanged.
+    f_val, f_z = jax.value_and_grad(
+        lambda z: reion_optical_depth(bg, z, yhe) - tau)(mid)
+    return mid - f_val / f_z

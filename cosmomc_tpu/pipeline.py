@@ -13,6 +13,7 @@ from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from cosmomc_tpu.likelihoods.base import Likelihood, LikelihoodList
@@ -204,6 +205,12 @@ class CMBPosterior:
     #: LOS cost 4x at a measured <0.1% C_l change. 1 = integrate on the
     #: full ODE grid (exact f64 reference configuration).
     los_tau_stride: int = 4
+    #: scale the lensing-potential source by sqrt(P_NL/P_lin) (halofit at
+    #: a fixed fiducial primordial spectrum) before the LOS integral —
+    #: the reference's NonLinear_Lens Planck-baseline setting
+    #: (cmbmain.f90 MakeNonlinearSources). Without it C_l^phiphi is
+    #: 7-30% low at l>300 and the lensed TT damping tail ~-1% low.
+    nonlinear_lens: bool = True
     #: extended perturbation sectors (perturbations.make_rhs): "auto"
     #: enables the massive-neutrino momentum hierarchy when mnu is SAMPLED
     #: (fixed mnu=0.06 keeps the documented <~0.1% massless approximation)
@@ -310,6 +317,13 @@ class CMBPosterior:
             p = self.space.get("mnu") if "mnu" in self.space else None
             self.massive_nu_hierarchy = bool(
                 _varies("mnu") or (p is not None and p.center > 0.2))
+        # fiducial primordial parameters for the nonlinear-lensing
+        # halofit ratio (fixed so the slow cache stays independent of the
+        # semi-slow power parameters)
+        self._fid_logA = float(self.space.get("logA").center) \
+            if "logA" in self.space else 3.044
+        self._fid_ns = float(self.space.get("ns").center) \
+            if "ns" in self.space else 0.9649
         if self.de_perturbations == "auto":
             pw = self.space.get("w") if "w" in self.space else None
             pwa = self.space.get("wa") if "wa" in self.space else None
@@ -364,15 +378,36 @@ class CMBPosterior:
                                   nk_lin=self.source_nk[1])
             else:
                 k = source_k_grid(kmax=self.kmax)
+            from cosmomc_tpu.models.matterpower import (LENS_NL_Z,
+                                                        lensing_nl_ratio)
+            z_nl = LENS_NL_Z if self.nonlinear_lens else (0.0,)
             po, chi_star, tf = compute_transfers(
                 bg, tau_re, yhe, k, return_thermo=True,
+                z_outputs=z_nl,
                 n_step=self.n_step_boltzmann,
                 massive_nu=self.massive_nu_hierarchy,
                 de_perts=self.de_perturbations,
                 remat_chunks=self.remat_chunks)
+            if self.nonlinear_lens:
+                # CAMB MakeNonlinearSources: multiply the lensing source
+                # by sqrt(P_NL/P_lin)(k, z(tau)) at the fiducial power
+                from cosmomc_tpu.models.primordial import PrimordialParams
+                pp_fid = PrimordialParams.make(logA=self._fid_logA,
+                                               ns=self._fid_ns,
+                                               dtype=self.dtype)
+                ratio = lensing_nl_ratio(bg, pp_fid, jnp.asarray(k, self.dtype),
+                                         po.delta_m_z, z_nl)   # (nz, nk)
+                a_nl = jnp.asarray([1.0 / (1.0 + z) for z in z_nl],
+                                   self.dtype)
+                tau_nl = jnp.interp(a_nl, tf.a, tf.tau)        # z asc -> tau desc
+                mult = jax.vmap(lambda col: jnp.interp(
+                    po.tau, tau_nl[::-1], col[::-1]),
+                    in_axes=1, out_axes=0)(ratio)              # (nk, ntau)
+                # ratio -> 1 above the highest node (interp clamps to the
+                # z=10 edge, which is already ~1)
+                po = po._replace(slens=po.slens * mult)
             method = self.los_method
             if method == "auto":
-                import jax
                 method = ("recurrence" if jax.default_backend()
                           not in ("cpu",) else "table")
             if method == "recurrence":

@@ -179,7 +179,8 @@ class HMCRun:
                  max_steps: int = 100_000, r_stop: float = 0.01,
                  step_size0: float = 0.05, target_accept: float = 0.8,
                  chain_root: Optional[str] = None, feedback: int = 0,
-                 paramnames=None, space=None):
+                 paramnames=None, space=None,
+                 inv_mass0: Optional[np.ndarray] = None):
         self.sampler = sampler
         self.nchains = nchains
         self.segment_steps = segment_steps
@@ -188,8 +189,13 @@ class HMCRun:
         self.r_stop = r_stop
         self.feedback = feedback
         key = jax.random.PRNGKey(seed)
+        # initial diagonal mass: squared per-parameter scales (e.g. the
+        # proposal widths) — without it the first warmup segment leapfrogs
+        # with identity mass across parameters whose scales span orders of
+        # magnitude and rejects everything before adaptation can engage
         self.state = sampler.init_state(key, jnp.asarray(start_P),
-                                        step_size=step_size0)
+                                        step_size=step_size0,
+                                        inv_mass=inv_mass0)
         self.da = DualAveraging(target=target_accept)
         self.da.init(step_size0)
         self.writer = ChainWriter(chain_root, nchains) if chain_root else None

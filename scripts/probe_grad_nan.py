@@ -29,7 +29,7 @@ class Tiny(Likelihood):
     needs_cmb = True
 
     def log_like(self, theory, nuisance):
-        tt = theory.cls[0, 0, 2:LMAX + 1] / (nuisance[0] ** 2)
+        tt = theory.cls[0, 0, 2:LMAX + 1]
         return 0.5 * jnp.sum((tt / 1000.0 - 1.0) ** 2)
 
     @property
@@ -98,3 +98,67 @@ def src_scalar(field):
 
 for field in ("s0", "s1", "s2", "slens", "delta_m", "r_init"):
     report(f"sum po.{field}", grad_of(src_scalar(field)))
+
+
+# --- descend into the thermo stage (NaN wrt ombh2/omch2 appears there) ---
+from cosmomc_tpu.models.recfast import compute_thermo
+from cosmomc_tpu.models.perturbations import build_thermo_funcs
+from cosmomc_tpu.models.thermo import compute_thermo_tables, thermo_derived
+
+
+def bg_of(p):
+    fp = full(p)
+    bg = post.parameterization.to_background(fp)
+    yhe = yhe_bbn(bg.ombh2, bg.nnu - 3.046, post.bbn_table)
+    return bg, yhe, fp[post._i_tau]
+
+
+def th_scalar(which):
+    def f(p):
+        bg, yhe, tau_re = bg_of(p)
+        if which == "xe":
+            th = compute_thermo(bg, yhe)
+            return jnp.sum(th.xe)
+        if which == "tm":
+            th = compute_thermo(bg, yhe)
+            return jnp.sum(th.tm)
+        if which in ("opac", "vis", "csqb", "tau0", "expmk", "taugrid"):
+            tf, tau0 = build_thermo_funcs(bg, yhe, tau_re, n_step=1024)
+            if which == "tau0":
+                return tau0
+            if which == "taugrid":
+                return jnp.sum(tf.tau)
+            return jnp.sum(getattr(tf, which))
+        if which in ("r_drag", "z_star"):
+            th = compute_thermo(bg, yhe)
+            tabs = compute_thermo_tables(bg, th, yhe)
+            der = thermo_derived(bg, tabs)
+            return getattr(der, which)
+        if which == "H0":
+            return bg.H0
+        if which == "yhe":
+            return yhe
+    return f
+
+for which in ("H0", "yhe", "xe", "tm", "tau0", "taugrid", "opac", "expmk",
+              "vis", "csqb", "r_drag", "z_star"):
+    report(f"thermo:{which}", grad_of(th_scalar(which)))
+
+# --- semi stage with FIXED slow cache (logA/ns NaN isolation) ---
+slow_const = jax.jit(lambda p: post.stage_slow(full(p)))(P)
+
+
+def semi_scalar(reduce_fn):
+    def f(p):
+        semi = post.stage_semi(full(p), slow_const)
+        return reduce_fn(semi)
+    return f
+
+report("semi: sum cls", grad_of(semi_scalar(
+    lambda s: jnp.sum(s["cls"]))))
+report("semi: sum cls[0,0]", grad_of(semi_scalar(
+    lambda s: jnp.sum(s["cls"][0, 0]))))
+report("semi: sum cls[2,2] (BB)", grad_of(semi_scalar(
+    lambda s: jnp.sum(s["cls"][2, 2]))))
+report("semi: sum cls[3,3] (PP)", grad_of(semi_scalar(
+    lambda s: jnp.sum(s["cls"][3, 3]))))

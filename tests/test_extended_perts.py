@@ -156,13 +156,13 @@ def test_remat_gradient_full_boltzmann():
     v_pl, _ = jax.jit(lambda p: p_plain.logpost()(p))(P)
     np.testing.assert_allclose(float(v_rm), float(v_pl), rtol=1e-9)
     # the reverse pass must RUN in bounded memory (the un-checkpointed
-    # full-size scan OOMs); grad values equal the plain-path values.
-    # KNOWN ISSUE (pre-existing, identical with remat on/off): at this
-    # smoke-size grid some where-branch cotangents contaminate several
-    # components with NaN — the cheap semi+fast gradient path is clean
-    # (test_cmb_posterior.test_gradient_semi_fast) and full-path grad
-    # hygiene is tracked as follow-up work.
+    # full-size scan OOMs); grad values FINITE (the r5 grad-hygiene fixes:
+    # Newton-polished bisections for theta->H0 and tau->zre, double-where
+    # guards in the recfast Saha quadratics, grid-aware TCA release) and
+    # equal to the plain-path values.
     g_rm = np.asarray(jax.jit(jax.grad(lambda p: p_rm.logpost()(p)[0]))(P))
     g_pl = np.asarray(jax.jit(jax.grad(
         lambda p: p_plain.logpost()(p)[0]))(P))
-    np.testing.assert_allclose(g_rm, g_pl, rtol=1e-6, equal_nan=True)
+    assert np.isfinite(g_rm).all(), g_rm
+    assert np.isfinite(g_pl).all(), g_pl
+    np.testing.assert_allclose(g_rm, g_pl, rtol=1e-6)

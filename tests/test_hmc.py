@@ -110,3 +110,67 @@ def test_hmc_background_posterior(tmp_path):
     from cosmomc_tpu.analysis.mcsamples import MCSamples
     s = MCSamples.load(str(tmp_path / "hmc" / "run"), ignore_frac=0.0)
     assert s.samples.shape[0] > 100
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference data")
+def test_hmc_cmb_posterior():
+    """HMC runs on a (tiny) full-Boltzmann CMB posterior: finite gradients
+    end-to-end through recfast/thermo/Boltzmann/LOS/lensing and leapfrog
+    acceptance in a sane band — BASELINE config 5, the capability the
+    reference cannot offer (SURVEY.md §7 stage 6)."""
+    from cosmomc_tpu.likelihoods.base import Likelihood, LikelihoodList
+    from cosmomc_tpu.params.parameterizations import ThetaParameterization
+    from cosmomc_tpu.pipeline import CMBPosterior
+
+    F = jnp.float64
+    LMAX = 96
+
+    class Tiny(Likelihood):
+        kind = "CMB"
+        data_tt = None
+
+        def __init__(self):
+            super().__init__("tiny")
+            self.nuisance = []
+
+        def required_lmax(self):
+            return LMAX
+
+        def log_like(self, theory, nuisance):
+            tt = theory.cls[0, 0, 2:LMAX + 1]
+            if Tiny.data_tt is None:           # first (data-free) pass
+                return 0.0 * jnp.sum(tt)
+            d = jnp.asarray(Tiny.data_tt, tt.dtype)
+            return 0.5 * jnp.sum(((tt - d) / (0.05 * jnp.abs(d) + 1.0)) ** 2)
+
+    par = ThetaParameterization(F)
+    space = par.default_space()
+    likes = LikelihoodList()
+    likes.add(Tiny())
+    post = CMBPosterior(par, space, likes, lmax=LMAX, kmax=0.1,
+                        n_step_boltzmann=1024, source_nk=(24, 48),
+                        remat_chunks=32, dtype=F)
+    # self-consistent forecast data: the theory at the center point, so
+    # the posterior peaks there with O(1) curvature per parameter scale
+    Pc = jnp.asarray([q.center for q in post.space.varying], F)
+    slow = post.stage_slow(post.embed_full(Pc))
+    semi = post.stage_semi(post.embed_full(Pc), slow)
+    Tiny.data_tt = np.asarray(semi["cls"][0, 0, 2:LMAX + 1])
+    fn = post.logpost()
+    sampler = HMCSampler(fn, num_leapfrog=3, num_derived=post.num_derived)
+    rng = np.random.default_rng(0)
+    nchains = 2
+    widths = np.array([q.propose_width for q in post.space.varying])
+    centers = np.array([q.center for q in post.space.varying])
+    # start AT the (noiseless) posterior peak: the smoke run checks the
+    # leapfrog machinery, not burn-in
+    start = centers + 0.1 * widths * rng.standard_normal((nchains,
+                                                          len(widths)))
+    run = HMCRun(sampler, nchains, start, seed=1, warmup_segments=1,
+                 segment_steps=2, max_steps=8, r_stop=1e-9,
+                 step_size0=0.02, inv_mass0=widths ** 2)
+    res = run.run()
+    # gradients finite end-to-end => leapfrog trajectories finite =>
+    # a nonzero share of proposals accepted
+    assert np.isfinite(res.means).all()
+    assert res.accept_rate > 0.05, res.accept_rate
