@@ -123,6 +123,20 @@ class MCSamples:
 
     # ------------------------------------------------------------- limits
 
+    @staticmethod
+    def _weighted_quantiles_static(x: np.ndarray, w: np.ndarray,
+                                   fracs) -> np.ndarray:
+        """(nfrac, npar) weighted quantiles of columns of x."""
+        nfrac, npar = len(fracs), x.shape[1]
+        out = np.empty((nfrac, npar))
+        for j in range(npar):
+            order = np.argsort(x[:, j])
+            cw = np.cumsum(w[order])
+            for i, f in enumerate(fracs):
+                idx = np.searchsorted(cw, f * cw[-1])
+                out[i, j] = x[order[min(idx, len(x) - 1)], j]
+        return out
+
     def confid_val(self, j: int, frac: float, upper: bool) -> float:
         """Weighted percentile (samples.f90 ConfidVal): value with `frac`
         of total weight above (upper) / below (lower)."""
@@ -196,8 +210,7 @@ class MCSamples:
 
     # ------------------------------------------------------------ converge
 
-    def converge_tests(self) -> Dict[str, float]:
-        """R-1 between chains (or between halves if single chain)."""
+    def _chain_parts(self):
         parts = []
         for a, b in zip(self.chain_offsets[:-1], self.chain_offsets[1:]):
             if b - a > 1:
@@ -206,6 +219,11 @@ class MCSamples:
             x, w = self.samples, self.weights
             h = len(x) // 2
             parts = [(x[:h], w[:h]), (x[h:], w[h:])]
+        return parts
+
+    def converge_tests(self) -> Dict[str, float]:
+        """R-1 between chains (or between halves if single chain)."""
+        parts = self._chain_parts()
         means, covs = [], []
         for x, w in parts:
             norm = w.sum()
@@ -219,6 +237,111 @@ class MCSamples:
         except np.linalg.LinAlgError:
             r = np.inf
         return {"R-1": r}
+
+    # -- the reference's fuller converge battery (GetDist.f90:307-373,
+    #    python/getdist mcsamples.getConvergeTests) ---------------------
+
+    def split_limit_tests(self, splits=(2, 3, 4),
+                          frac=(0.025, 0.975)) -> Dict[int, np.ndarray]:
+        """Split-test: rms shift of the `frac` weighted quantiles across
+        n consecutive splits of the full sample, in units of the overall
+        sigma — per parameter. The analysis-side analog of the sampling-
+        side CheckLimitsConverge."""
+        x, w = self.samples, self.weights
+        n, npar = x.shape
+        sig = np.sqrt(np.maximum(np.diag(self.cov()), 1e-300))
+        out = {}
+        for ns in splits:
+            edges = np.linspace(0, n, ns + 1).astype(int)
+            qs = np.empty((ns, len(frac), npar))
+            for i, (a, b) in enumerate(zip(edges[:-1], edges[1:])):
+                qs[i] = self._weighted_quantiles_static(x[a:b], w[a:b], frac)
+            # rms over splits and requested limits, per parameter
+            rms = np.sqrt(((qs - qs.mean(0)) ** 2).mean(axis=(0, 1)))
+            out[ns] = rms / sig
+        return out
+
+    def correlation_lengths(self, max_lag: int = 0) -> np.ndarray:
+        """Weighted integrated autocorrelation length per parameter, in
+        'weight units' (the reference's corr-length block: steps between
+        independent samples along the unit-weight chain)."""
+        x, w = self.samples, self.weights
+        n, npar = x.shape
+        if max_lag <= 0:
+            max_lag = min(n // 4, 500)
+        mu = (w[:, None] * x).sum(0) / w.sum()
+        xc = (x - mu) * np.sqrt(w)[:, None]     # weight-scaled fluctuations
+        var = (xc ** 2).sum(0)
+        out = np.empty(npar)
+        f = np.fft.rfft(xc, n=2 * n, axis=0)
+        acf = np.fft.irfft(f * np.conj(f), axis=0)[:max_lag].real
+        acf /= np.maximum(acf[:1], 1e-300)
+        for j in range(npar):
+            tau = 1.0
+            for lag in range(1, max_lag - 1, 2):
+                pair = acf[lag, j] + acf[lag + 1, j]
+                if pair < 0:
+                    break
+                tau += 2.0 * pair
+            out[j] = tau * self.weights.mean()
+        return out
+
+    def raftery_lewis(self, q: float = 0.025, tol_r: float = 0.0125,
+                      prob_s: float = 0.95) -> Dict[str, np.ndarray]:
+        """Raftery-Lewis (1992) diagnostic per parameter on the q-quantile
+        indicator chain: required thinning k, burn-in M and minimum chain
+        length N for P(quantile within +-tol_r) = prob_s. Two-state
+        Markov fit on the thinned indicator (GetDist.f90 Raftery block)."""
+        from scipy.stats import norm as _norm
+        x, w = self.samples, self.weights
+        n, npar = x.shape
+        # expand weights approximately by repeating high-weight rows is
+        # expensive; the indicator transition rates on the weighted chain
+        # are estimated with weight-carrying counts instead
+        qv = self._weighted_quantiles_static(x, w, (q,))[0]
+        phi = _norm.ppf(0.5 * (1.0 + prob_s))
+        ks = np.ones(npar, int)
+        Ms = np.zeros(npar)
+        Ns = np.zeros(npar)
+        for j in range(npar):
+            z = (x[:, j] <= qv[j]).astype(np.float64)
+            k = 1
+            while k < n // 8:
+                zt = z[::k]
+                wt = w[::k]
+                # first-order vs second-order Markov BIC test is the full
+                # RL recipe; the standard shortcut: thin until the lag-1
+                # autocorrelation of the indicator is small
+                zc = zt - np.average(zt, weights=wt)
+                denom = (wt[:-1] * zc[:-1] * zc[:-1]).sum()
+                rho = 0.0 if denom <= 0 else \
+                    (wt[:-1] * zc[:-1] * zc[1:]).sum() / denom
+                if abs(rho) < 0.1 or len(zt) < 64:
+                    break
+                k += 1
+            zt = z[::k]
+            # two-state transition probabilities alpha: 0->1, beta: 1->0
+            z0, z1 = zt[:-1], zt[1:]
+            n01 = ((z0 == 0) & (z1 == 1)).sum()
+            n0 = (z0 == 0).sum()
+            n10 = ((z0 == 1) & (z1 == 0)).sum()
+            n1 = (z0 == 1).sum()
+            alpha = n01 / max(n0, 1)
+            beta = n10 / max(n1, 1)
+            if alpha <= 0 or beta <= 0:
+                Ms[j], Ns[j] = np.nan, np.nan
+                ks[j] = k
+                continue
+            ab = alpha + beta
+            lam = abs(1.0 - ab)
+            m_burn = 0.0 if lam <= 0 else \
+                np.log(0.01 * ab / max(alpha, beta)) / np.log(max(lam, 1e-12))
+            n_min = (ab * (2.0 - ab) / ab ** 3 * alpha * beta
+                     * (phi / tol_r) ** 2)
+            ks[j] = k
+            Ms[j] = max(m_burn, 0.0) * k
+            Ns[j] = n_min * k
+        return {"thin_k": ks, "burn_M": Ms, "N_min": Ns}
 
     def pca(self, param_indices: Optional[Sequence[int]] = None
             ) -> Dict[str, np.ndarray]:
@@ -301,9 +424,44 @@ class MCSamples:
         np.savetxt(path, self.corr(), fmt="%17.9E")
 
     def write_converge(self, path: str) -> None:
+        """Full .converge battery (GetDist.f90:307-373 output block):
+        eigenvalue R-1, split-limit tests, correlation lengths, and
+        Raftery-Lewis per parameter."""
         t = self.converge_tests()
+        names = [p.name for p in self.names.names[:self.samples.shape[1]]]
         with open(path, "w") as f:
-            f.write(f"var(mean)/mean(var) max eigenvalue R-1 = {t['R-1']:13.5f}\n")
+            f.write(f"var(mean)/mean(var) max eigenvalue R-1 = {t['R-1']:13.5f}\n\n")
+            try:
+                sp = self.split_limit_tests()
+                f.write("Split tests: rms shift of 95% limits between "
+                        "n splits, in units of sigma:\n")
+                f.write("param            " + "".join(
+                    f"n={n:<9d}" for n in sorted(sp)) + "\n")
+                for j, nm in enumerate(names):
+                    f.write(f"{nm:16s} " + "".join(
+                        f"{sp[n][j]:9.4f} " for n in sorted(sp)) + "\n")
+                f.write("\n")
+            except Exception as e:       # degenerate tiny chains
+                f.write(f"split tests unavailable: {e}\n")
+            try:
+                cl = self.correlation_lengths()
+                f.write("Correlation lengths (weight-steps between "
+                        "independent samples):\n")
+                for j, nm in enumerate(names):
+                    f.write(f"{nm:16s} {cl[j]:10.2f}\n")
+                f.write("\n")
+            except Exception as e:
+                f.write(f"correlation lengths unavailable: {e}\n")
+            try:
+                rl = self.raftery_lewis()
+                f.write("Raftery-Lewis (q=0.025, r=0.0125, s=0.95): "
+                        "thin k, burn-in M, min N:\n")
+                for j, nm in enumerate(names):
+                    f.write(f"{nm:16s} {rl['thin_k'][j]:6d} "
+                            f"{rl['burn_M'][j]:10.1f} "
+                            f"{rl['N_min'][j]:12.1f}\n")
+            except Exception as e:
+                f.write(f"Raftery-Lewis unavailable: {e}\n")
 
     def write_all(self, root: str) -> Dict[str, float]:
         self.write_marge_stats(root + ".margestats")

@@ -365,6 +365,9 @@ def run_ini(path: str, overrides: Optional[Dict[str, str]] = None) -> int:
         limits_tol=(ini.float("MPI_Limit_Converge_Err", 0.2)
                     if ini.bool("MPI_Check_Limit_Converge", False) else 0.0),
         limit_frac=ini.float("MPI_Limit_Converge", 0.025),
+        # error-point policy (reference settings.f90:93; counters logged
+        # per segment either way)
+        stop_on_error=ini.bool("stop_on_error", False),
     )
     rng = np.random.default_rng(cfg.seed)
     run = SamplingRun(sampler, cfg,

@@ -22,9 +22,13 @@ DoSourcek OMP loop (cmbmain.f90:198,657) with a TPU-native design:
     the start state, transfers divided by it (removes IC-normalization
     convention risk).
 
-Massive neutrinos are treated as massless in the perturbations at this
-stage (exact in the background); for sum mnu = 0.06 eV this biases C_l at
-the <~0.1% level — revisit with a momentum-sampled hierarchy.
+Massive neutrinos: with `massive_nu=True` (enabled automatically by the
+pipeline when mnu is sampled) the momentum-sampled Psi_l(q) hierarchy
+evolves on NQ_NU Gauss nodes with exact massive stress-energy; the
+default small-mnu path treats the 0.06 eV eigenstate as massless
+radiation CONSISTENTLY in the rhs (see the measured comparison in
+make_rhs — partial exact-background fixes do worse than the consistent
+massless limit; the residual is a few-% effect confined to l <~ 10).
 """
 
 from __future__ import annotations

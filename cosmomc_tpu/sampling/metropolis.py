@@ -48,6 +48,11 @@ class SegmentOutput(NamedTuple):
     P: jnp.ndarray            # (S, nchains, n) current point AFTER each step
     mloglike: jnp.ndarray     # (S, nchains)
     derived: jnp.ndarray      # (S, nchains, nd)
+    #: per-step per-chain flag: the PROPOSED point was in-bounds but the
+    #: theory/likelihood evaluated non-finite (the reference's error
+    #: points, Calculator_CAMB.f90:205-215; counted by the runner and
+    #: fatal under stop_on_error, settings.f90:93)
+    error: jnp.ndarray        # (S, nchains) bool
 
 
 def make_bounded_posterior(logpost_fn: Callable, lo: jnp.ndarray, hi: jnp.ndarray,
@@ -80,7 +85,15 @@ def make_bounded_posterior(logpost_fn: Callable, lo: jnp.ndarray, hi: jnp.ndarra
             prior = prior + 0.5 * jnp.sum(s * s)
         bad = jnp.logical_or(jnp.isnan(m), m >= LOG_ZERO * 0.1)
         ok = jnp.logical_and(inb, jnp.logical_not(bad))
-        return (jnp.where(ok, m + prior, LOG_ZERO).astype(P.dtype),
+        # distinct sentinels: LOG_ZERO for out-of-bounds (normal sampling),
+        # 2*LOG_ZERO for an in-bounds point whose theory evaluated
+        # non-finite (an ERROR POINT — silently mapping it to a rejection
+        # makes a broken configuration look like a low-acceptance chain;
+        # samplers flag mll >= 1.5*LOG_ZERO so the runner can count/stop)
+        err = jnp.logical_and(inb, bad)
+        mout = jnp.where(ok, m + prior,
+                         jnp.where(err, 2.0 * LOG_ZERO, LOG_ZERO))
+        return (mout.astype(P.dtype),
                 jnp.where(ok, d.astype(P.dtype), 0.0))
 
     return bounded
@@ -127,7 +140,8 @@ class MetropolisSampler:
         der = jnp.where(acc[:, None], der_t, state.derived)
         new = ChainState(P, mll, der, key,
                          state.num_accept + acc.astype(jnp.int32), state.mapping)
-        return new, (acc, P, mll, der)
+        err = mll_t >= LOG_ZERO * 1.5
+        return new, (acc, P, mll, der, err)
 
     # ---------- a compiled segment ----------
 

@@ -59,6 +59,11 @@ class RunConfig:
     #: `limits_tol` in units of the pooled sigma. 0 = off (R-1 only).
     limits_tol: float = 0.0
     limit_frac: float = 0.025
+    #: error-point policy (settings.f90:93 stop_on_error + the
+    #: Calculator_CAMB.f90:205-215 error counting): in-bounds proposals
+    #: whose theory evaluates non-finite are counted per segment; with
+    #: stop_on_error the run aborts instead of silently rejecting forever
+    stop_on_error: bool = False
 
 
 @dataclass
@@ -112,6 +117,7 @@ class SamplingRun:
         # slow/semi/fast step counters (the reference's perf stats,
         # CalcLike_Cosmology.f90:96-102 slow_changes/semislow_changes)
         self.class_steps = np.zeros(3, np.int64)
+        self.num_error_points = 0
         self._log = (open(chain_root + ".log", "a", buffering=1)
                      if chain_root else None)
 
@@ -134,6 +140,21 @@ class SamplingRun:
             P = np.asarray(out.P)
             mll = np.asarray(out.mloglike)
             der = np.asarray(out.derived)
+            n_err = int(np.asarray(out.error).sum()) \
+                if hasattr(out, "error") else 0
+            if n_err:
+                self.num_error_points += n_err
+                msg = (f"ERROR POINTS: {n_err} in-bounds proposals with "
+                       f"non-finite theory this segment "
+                       f"({self.num_error_points} total)")
+                if self._log is not None:
+                    self._log.write(msg + "\n")
+                if self.feedback > 0:
+                    print(msg, flush=True)
+                if cfg.stop_on_error:
+                    raise RuntimeError(
+                        msg + " — aborting (stop_on_error=T, reference "
+                        "settings.f90:93)")
             self.steps_done += cfg.segment_steps
             seg_i += 1
 
@@ -149,7 +170,9 @@ class SamplingRun:
                     cs = self.class_steps
                     line = (f"[{self.steps_done:>8d} steps] R-1 = {r:.4f}  "
                             f"acc = {ar:.3f}  "
-                            f"slow/semi/fast = {cs[0]}/{cs[1]}/{cs[2]}")
+                            f"slow/semi/fast = {cs[0]}/{cs[1]}/{cs[2]}"
+                            + (f"  error_points = {self.num_error_points}"
+                               if self.num_error_points else ""))
                     if self.feedback > 0:
                         print(line, flush=True)
                     if self._log is not None:

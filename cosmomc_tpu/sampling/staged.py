@@ -163,7 +163,10 @@ class StagedMetropolisSampler:
         prior, inb = self._prior_and_mask(trial)
         bad = jnp.logical_or(jnp.isnan(mll_t), mll_t >= LOG_ZERO * 0.1)
         ok = jnp.logical_and(inb, jnp.logical_not(bad))
-        mll_t = jnp.where(ok, mll_t + prior, LOG_ZERO).astype(trial.dtype)
+        err = jnp.logical_and(inb, bad)     # error points (see metropolis)
+        mll_t = jnp.where(ok, mll_t + prior,
+                          jnp.where(err, 2.0 * LOG_ZERO, LOG_ZERO)
+                          ).astype(trial.dtype)
         der_t = jnp.where(ok[:, None], der_t.astype(trial.dtype), 0.0)
 
         dl = (mll_t - state.mloglike) / self.temperature
@@ -178,7 +181,7 @@ class StagedMetropolisSampler:
         new = StagedChainState(P, mll, der, key,
                                state.num_accept + acc.astype(jnp.int32),
                                state.mapping, new_slow, new_semi)
-        return new, (acc, P, mll, der)
+        return new, (acc, P, mll, der, err)
 
     # ---------- a compiled segment ----------
 

@@ -124,3 +124,41 @@ def test_converge_r_sane():
     s2 = MCSamples(x2, np.ones(len(x2)), np.zeros(len(x2)), names,
                    chain_offsets=[0, 20_000, 40_000])
     assert s2.converge_tests()["R-1"] > 1.0
+
+
+def test_converge_battery(tmp_path):
+    """Split-limit tests, correlation lengths, Raftery-Lewis: sane values
+    on a synthetic AR(1) chain (GetDist.f90:307-373 battery analog)."""
+    from cosmomc_tpu.analysis.mcsamples import MCSamples
+    from cosmomc_tpu.utils.paramnames import ParamNames, ParamInfo
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    rho = 0.8
+    x = np.empty((n, 2))
+    x[0] = 0.0
+    eps = rng.standard_normal((n, 2))
+    for i in range(1, n):
+        x[i] = rho * x[i - 1] + np.sqrt(1 - rho ** 2) * eps[i]
+    names = ParamNames([ParamInfo("a", "a"), ParamInfo("b", "b")])
+    s = MCSamples(x, np.ones(n), np.zeros(n), names, [0, n // 2, n])
+
+    sp = s.split_limit_tests()
+    assert set(sp) == {2, 3, 4}
+    for v in sp.values():
+        assert v.shape == (2,)
+        assert np.all(v >= 0) and np.all(v < 1.0)
+
+    cl = s.correlation_lengths()
+    # AR(1) integrated autocorr time = (1+rho)/(1-rho) = 9
+    assert np.all(cl > 4) and np.all(cl < 20), cl
+
+    rl = s.raftery_lewis()
+    assert np.all(rl["thin_k"] >= 1)
+    assert np.all(np.isfinite(rl["N_min"]))
+    assert np.all(rl["N_min"] > 100)
+
+    s.write_converge(str(tmp_path / "t.converge"))
+    txt = (tmp_path / "t.converge").read_text()
+    assert "Split tests" in txt and "Correlation lengths" in txt \
+        and "Raftery-Lewis" in txt

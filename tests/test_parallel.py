@@ -99,3 +99,38 @@ def test_sharded_sampling_segment_matches_single_device(mesh):
                                np.asarray(out_single.P), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(st_shard.mloglike),
                                np.asarray(st_single.mloglike), rtol=1e-4)
+
+
+def test_staged_sharded_matches_single_device(mesh):
+    """The STAGED CMB sampler — whose per-chain slow/semi theory-cache
+    pytrees are the part that could actually break under partitioning —
+    produces identical accept decisions and matching trajectories when the
+    chain state (incl. caches) is sharded over the mesh
+    (SampleCollector.f90:248-251 one-rank-per-chain analog)."""
+    import __graft_entry__ as ge
+    from cosmomc_tpu.sampling.staged import StagedMetropolisSampler
+
+    nchains = 16
+    post, prop = ge._build_cmb_staged(jnp.float32, nchains)
+    sampler = StagedMetropolisSampler(prop, post)
+    rng = np.random.default_rng(0)
+    P0 = post.start_positions(rng, nchains).astype(np.float32)
+    st = sampler.init_state(jax.random.PRNGKey(0), jnp.asarray(P0))
+    sched = prop.make_schedule(6, np.random.default_rng(1))
+
+    st_single, out_single = sampler.run_segment(st, sched)
+
+    st_sh = shard_chains(st, mesh, nchains)
+    st_shard, out_shard = sampler.run_segment(st_sh, sched)
+
+    np.testing.assert_array_equal(np.asarray(out_shard.accept),
+                                  np.asarray(out_single.accept))
+    np.testing.assert_allclose(np.asarray(out_shard.P),
+                               np.asarray(out_single.P),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(st_shard.mloglike),
+                               np.asarray(st_single.mloglike), rtol=2e-3)
+    # the accepted slow caches must match too (same lanes overwritten)
+    a = np.asarray(st_shard.slow["clt"].dT)
+    b = np.asarray(st_single.slow["clt"].dT)
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)

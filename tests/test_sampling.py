@@ -240,3 +240,51 @@ def test_limits_convergence_gate():
     res = run.run()
     assert res.stopped_on == "converged"
     assert run.limits_spread is not None and run.limits_spread < 0.5
+
+
+def test_error_point_policy(tmp_path):
+    """In-bounds proposals with non-finite theory are counted as ERROR
+    POINTS (distinct from out-of-bounds rejections) and abort the run
+    under stop_on_error — reference settings.f90:93 +
+    Calculator_CAMB.f90:205-215 error counting."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from cosmomc_tpu.params.space import Param, ParameterSpace, Speed
+    from cosmomc_tpu.sampling.metropolis import (MetropolisSampler,
+                                                 make_bounded_posterior)
+    from cosmomc_tpu.sampling.proposal import BlockedProposal
+    from cosmomc_tpu.sampling.runner import SamplingRun, RunConfig
+
+    space = ParameterSpace()
+    for i in range(2):
+        space.add(Param(f"p{i}", 0.0, -5, 5, 0.5, 0.5, speed=Speed.SLOW))
+    arr = space.device_arrays(jnp.float64)
+
+    def raw(P):
+        m = 0.5 * jnp.sum(P * P)
+        # theory 'fails' in an in-bounds subregion
+        m = jnp.where(P[0] > 0.5, jnp.nan, m)
+        return m, jnp.zeros((0,), P.dtype)
+
+    logpost = make_bounded_posterior(raw, arr["lo"], arr["hi"], num_derived=0)
+    prop = BlockedProposal(space.speed_blocks(), slow_block_max=1)
+    prop.set_covariance(np.eye(2))
+    sampler = MetropolisSampler(prop, logpost, num_derived=0)
+    start = np.random.default_rng(0).normal(0, 0.3, (32, 2))
+
+    cfg = RunConfig(nchains=32, segment_steps=32, max_steps=128,
+                    r_stop=1e-9, burn_accepts_per_block=1, seed=2)
+    run = SamplingRun(sampler, cfg, start,
+                      chain_root=str(tmp_path / "err"), feedback=0)
+    run.run()
+    assert run.num_error_points > 0
+    log = (tmp_path / "err.log").read_text()
+    assert "ERROR POINTS" in log
+
+    cfg2 = RunConfig(nchains=32, segment_steps=32, max_steps=128,
+                     r_stop=1e-9, burn_accepts_per_block=1, seed=2,
+                     stop_on_error=True)
+    run2 = SamplingRun(sampler, cfg2, start, chain_root=None, feedback=0)
+    with pytest.raises(RuntimeError, match="stop_on_error"):
+        run2.run()
