@@ -52,7 +52,8 @@ def compute_transfers(bg: BackgroundParams, tau_reion, yhe,
                       n_step: int = 0,
                       massive_nu: bool = False,
                       de_perts: bool = False,
-                      remat_chunks: int = 0):
+                      remat_chunks: int = 0,
+                      iso_cdm_amp=0.0):
     """Slow stage: thermal history + Boltzmann evolution (the analog of
     CAMB_GetTransfers). Returns (transfers, chi_star); with
     `return_thermo`, also the ThermoFuncs tables (so the tensor stage can
@@ -65,7 +66,8 @@ def compute_transfers(bg: BackgroundParams, tau_reion, yhe,
         tf, tau0 = build_thermo_funcs(bg, yhe, tau_reion)
     po = evolve_perturbations(bg, tf, tau0, jnp.asarray(k), z_outputs,
                               massive_nu=massive_nu, de_perts=de_perts,
-                              remat_chunks=remat_chunks)
+                              remat_chunks=remat_chunks,
+                              iso_cdm_amp=iso_cdm_amp)
     # chi_star: distance to the visibility peak
     ipk = jnp.argmax(tf.vis)
     chi_star = tau0 - tf.tau[ipk]

@@ -122,12 +122,17 @@ def compute_matter_power(bg: BackgroundParams, pp: PrimordialParams,
                          z_outputs: Sequence[float] = (0.0,),
                          k: np.ndarray | None = None,
                          n_step: int = 6144,
-                         nonlinear: bool = True) -> MatterPower:
+                         nonlinear: bool = True,
+                         massive_nu: bool = False,
+                         de_perts: bool = False) -> MatterPower:
     """Full matter-power pipeline: Boltzmann transfers on a wide k grid ->
     linear P(k,z) -> sigma8 / f sigma8 -> halofit nonlinear P.
 
-    z_outputs must be ascending and static (shapes are compile-time)."""
-    mt = compute_matter_transfers(bg, tau_reion, yhe, z_outputs, k, n_step)
+    z_outputs must be ascending and static (shapes are compile-time).
+    massive_nu engages the momentum hierarchy (the ~2 f_nu sigma8
+    free-streaming suppression is invisible to the massless default)."""
+    mt = compute_matter_transfers(bg, tau_reion, yhe, z_outputs, k, n_step,
+                                  massive_nu=massive_nu, de_perts=de_perts)
     return matter_power_from_transfers(bg, pp, mt, nonlinear=nonlinear)
 
 

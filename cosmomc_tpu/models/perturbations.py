@@ -480,7 +480,15 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU,
         # suppressed by q/eps and full evolution is stable.
         if massive_nu:
             psi_nu = y[i_nu:i_nu + NVAR_NU].reshape(NQ_NU, LMAXNU + 1)
-            nu_rel_rsa = jnp.logical_and(rsa, am < 2.0)
+            # freeze/slave the momentum hierarchy past the RSA boundary
+            # while relativistic (am < 2, streaming at ~k like massless)
+            # AND whenever the local grid step cannot resolve the
+            # (q/eps) k streaming frequency even non-relativistically
+            # (q/eps <= 1, so k*dtau <= 0.9 is the resolvable criterion;
+            # without it the wide matter-power grid (kmax=8, late dtau=5)
+            # blew up the unfrozen non-relativistic hierarchy to NaN)
+            nu_rel_rsa = jnp.logical_and(
+                rsa, jnp.logical_or(am < 2.0, k * dt_loc > 0.9))
             # MB95 eq 55 momentum integrals on the Gauss nodes; under
             # relativistic RSA the species tracks the massless one
             dgrho_m = jnp.where(
@@ -678,10 +686,17 @@ def make_rhs(bg: BackgroundParams, tf: ThermoFuncs, rsa_ktau: float = RSA_KTAU,
 
 
 def adiabatic_ics(bg: BackgroundParams, tf: ThermoFuncs, k, tau,
-                  massive_nu: bool = False, de_perts: bool = False):
-    """MB95 eq (96) adiabatic initial conditions (C=1), synchronous gauge.
-    With massive_nu, the Psi_l(q) nodes follow MB95 eq (98) (relativistic
-    start, eps ~ q); DE fluid perturbations start at zero."""
+                  massive_nu: bool = False, de_perts: bool = False,
+                  iso_cdm_amp=0.0):
+    """MB95 eq (96) adiabatic initial conditions (C=1), synchronous gauge,
+    plus an optional totally-correlated CDM-ISOCURVATURE admixture with
+    amplitude `iso_cdm_amp` = sign(alpha)*sqrt(|alpha|/(1-|alpha|)) (the
+    reference's alpha1 parameter mapping, Calculator_CAMB.f90:109-111;
+    mode series from the published Bucher-Moodley-Turok forms as tabulated
+    in camb/equations_ppf.f90 `initial`, converted to MB95 variables via
+    the per-variable adiabatic correspondence). With massive_nu, the
+    Psi_l(q) nodes follow MB95 eq (98) from the combined fluid moments;
+    DE fluid perturbations start at zero."""
     dtype = jnp.asarray(k).dtype
     d = _densities(bg)
     grho_g = d["ogh2"]
@@ -691,20 +706,44 @@ def adiabatic_ics(bg: BackgroundParams, tf: ThermoFuncs, k, tau,
     C = jnp.asarray(1.0, dtype)
     y = jnp.zeros((NVAR + extra_state(massive_nu, de_perts),), dtype)
     dg = -(2.0 / 3.0) * C * kt ** 2
-    y = y.at[_I_DG].set(dg)
-    y = y.at[_I_DC].set(0.75 * dg)
-    y = y.at[_I_DB].set(0.75 * dg)
-    y = y.at[_I_DN].set(dg)
-    theta = -(C / 18.0) * k ** 4 * tau ** 3 / k * k   # = -(C/18) k (kt)^3 ... keep dims: velocity divergence theta [1/Mpc]
     theta = -(C / 18.0) * k * kt ** 3
-    y = y.at[_I_TG].set(theta)
-    y = y.at[_I_TB].set(theta)
-    y = y.at[_I_TN].set(-(C / 18.0) * k * kt ** 3
-                        * (23.0 + 4.0 * Rnu) / (15.0 + 4.0 * Rnu))
+    theta_n = theta * (23.0 + 4.0 * Rnu) / (15.0 + 4.0 * Rnu)
     fn2 = 2.0 * (2.0 * C * kt ** 2 / (3.0 * (15.0 + 4.0 * Rnu)))
+    eta = 2.0 * C - C * (5.0 + 4.0 * Rnu) / (6.0 * (15.0 + 4.0 * Rnu)) \
+        * kt ** 2
+    dc = 0.75 * dg
+    db = 0.75 * dg
+    dn = dg
+    tb = theta
+    b = jnp.asarray(iso_cdm_amp, dtype)
+    if not (isinstance(iso_cdm_amp, float) and iso_cdm_amp == 0.0):
+        # CDM-iso mode in our units (leading series in omega*tau and
+        # k*tau; omega = matter/radiation transition rate 1/Mpc)
+        om = 3.0 * H100_MPC * (bg.ombh2 + bg.omch2) \
+            / jnp.sqrt(3.0 * (grho_g + grho_n))
+        Rc = bg.omch2 / (bg.ombh2 + bg.omch2)
+        Rv = Rnu
+        ot = om * tau
+        dgi = Rc * ot * (4.0 / 3.0 - 0.5 * ot)
+        dc = dc + b * (-2.0 + 0.75 * dgi)
+        db = db + b * 0.75 * dgi
+        dg = dg + b * dgi
+        dn = dn + b * dgi
+        ti = Rc * k * ot * kt / 6.0
+        tb = tb + b * ti
+        theta = theta + b * ti
+        theta_n = theta_n + b * ti
+        fn2 = fn2 + b * (Rc * ot * kt ** 2 / (3.0 * (2.0 * Rv + 15.0)))
+        eta = eta + b * (Rc * ot * (1.0 / 3.0 - ot / 8.0))
+    y = y.at[_I_DG].set(dg)
+    y = y.at[_I_DC].set(dc)
+    y = y.at[_I_DB].set(db)
+    y = y.at[_I_DN].set(dn)
+    y = y.at[_I_TG].set(theta)
+    y = y.at[_I_TB].set(tb)
+    y = y.at[_I_TN].set(theta_n)
     y = y.at[_I_FN2].set(fn2)
-    y = y.at[_I_ETA].set(2.0 * C - C * (5.0 + 4.0 * Rnu)
-                         / (6.0 * (15.0 + 4.0 * Rnu)) * kt ** 2)
+    y = y.at[_I_ETA].set(eta)
     if massive_nu:
         # MB95 eq 98: Psi_0 = -(1/4) delta_nu dlnf0/dlnq, Psi_1 =
         # -(eps/3qk) theta_nu dlnf, Psi_2 = -(1/2) sigma_nu dlnf; the
@@ -747,7 +786,8 @@ def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
                          source_opts: dict | None = None,
                          massive_nu: bool = False,
                          de_perts: bool = False,
-                         remat_chunks: int = 0) -> PerturbationOutput:
+                         remat_chunks: int = 0,
+                         iso_cdm_amp=0.0) -> PerturbationOutput:
     """Evolve all k modes over the shared grid; emit sources per step.
 
     One `lax.scan` over the tau grid; the state carries all k lanes
@@ -767,9 +807,19 @@ def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
 
     taus = tf.tau
     y0 = jax.vmap(lambda kk: adiabatic_ics(bg, tf, kk, taus[0],
-                                           massive_nu, de_perts))(k)
+                                           massive_nu, de_perts,
+                                           iso_cdm_amp))(k)
+    # r_init: measured on the PURE-ADIABATIC state even when an
+    # isocurvature admixture is evolved — the reference's initial_vector
+    # convention scales the mixed transfer by the scalar curvature power
+    # with the adiabatic component normalized to the usual amplitude
+    # (Calculator_CAMB.f90:830-832), so the normalizer must not see the
+    # iso contribution to the comoving curvature.
+    y0_ad = y0 if (isinstance(iso_cdm_amp, float) and iso_cdm_amp == 0.0) \
+        else jax.vmap(lambda kk: adiabatic_ics(bg, tf, kk, taus[0],
+                                              massive_nu, de_perts))(k)
     r_init = jax.vmap(lambda yy, kk: measure_curvature(bg, tf, yy, kk, taus[0])
-                      )(y0, k)
+                      )(y0_ad, k)
     # r_init measured when each lane releases would be ideal; superhorizon
     # conservation makes the initial-time value equivalent at this order.
 
@@ -834,7 +884,8 @@ def evolve_perturbations(bg: BackgroundParams, tf: ThermoFuncs,
         # (tau_eq ~ 110 Mpc) — low-k lanes frozen on ICs at recombination
         # would corrupt exactly the modes that source the lowest multipoles.
         ics = jax.vmap(lambda kk: adiabatic_ics(bg, tf, kk, tau_b,
-                                                massive_nu, de_perts))(k)
+                                                massive_nu, de_perts,
+                                                iso_cdm_amp))(k)
         released = jnp.logical_or(k * tau_b >= IC_RELEASE_KTAU,
                                   tau_b >= 3.0)[:, None]
         y_new = jnp.where(released, y_new, ics)

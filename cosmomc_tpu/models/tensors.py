@@ -36,9 +36,11 @@ window functions):
   C_l^X   = NORM_X * 4 pi int dlnk P_T(k) |DX_l|^2
 
 with P_T(k) = r A_s (k/k0)^{n_t} the summed-polarization tensor power
-(power_tilt.f90 TensorPower convention). The overall normalization
-constants are fixed by the amplitude anchors in tests/test_tensors.py
-(radiation-era analytic h, published BB-peak level for r=0.1).
+(power_tilt.f90 TensorPower convention). NORM_X = 1/16 for every
+spectrum, DERIVED from the reference's assembly constant (see the NORM
+comment in tensor_cls_from_transfers); the evolution anchors
+(radiation-era analytic h, Weinberg 0.8031 damping) pin the dynamics in
+tests/test_tensors.py.
 """
 
 from __future__ import annotations
@@ -370,11 +372,20 @@ def tensor_cls_from_transfers(cache: TensorTransferCache,
     def fill(vals):
         return spline_eval(spline_fit(ls_f, vals), all_l)
 
-    # overall normalization: the tensor transfer is normalized to h = 1 and
-    # P_T is the summed-polarization power; the residual constant (angular
-    # projection factors of the Polnarev decomposition) is pinned by the
-    # amplitude anchors in tests/test_tensors.py
-    NORM = 1.0 / (4.0 * jnp.pi)
+    # overall normalization, DERIVED (r5) from the reference's tensor
+    # C_l assembly (cmbmain.f90 CalcTensCls: C_l = (pi/4) ctnorm
+    # int dlnk P_T Delta^2, with ctnorm = (l+2)!/(l-2)! applied to TT and
+    # already inside our dT as efac): our Delta equals CAMB's because
+    # (a) Hchi obeys the same h'' + 2H h' + k^2 h = rhopi equation with
+    # h(0)=1 ICs and shear = -h'/k (derivst aytprime(2,3)), and (b) the
+    # scattering source (15/8) polter == our Polnarev Psi — proven in the
+    # tight-coupling limit where both reduce to -h'/(3 kappa')
+    # (outputt:47-55: pig = (32/45)(k/opac) shear -> (15/8) polter =
+    # -h'/(3 kappa') = our slaved Psi). Hence C_l = (pi/4)/(4 pi) *
+    # [4 pi int dlnk P_T dX^2] -> NORM = 1/16 for TT/TE/EE/BB alike
+    # (CalcTensCls applies the same dbletmp to E/B without ctnorm, which
+    # our dE/dB also omit). The previous 1/(4 pi) anchor was +25.7%.
+    NORM = 1.0 / 16.0
     return TensorSpectra(all_l.astype(jnp.int32),
                          NORM * fill(fac * tts),
                          NORM * fill(fac * tes),

@@ -148,7 +148,8 @@ class ThetaParameterization:
     (:90-112). tau enters only once the CMB stage exists.
     """
 
-    names = ["ombh2", "omch2", "theta", "tau", "omk", "mnu", "w", "wa", "nnu"]
+    names = ["ombh2", "omch2", "theta", "tau", "omk", "mnu", "w", "wa",
+             "nnu", "alpha1"]
 
     def __init__(self, dtype=jnp.float64, h0_min=20.0, h0_max=100.0,
                  bisect_iters=47):
@@ -172,6 +173,12 @@ class ThetaParameterization:
             Param("w", -1.0, -1.0, -1.0, 0, 0, "w", Speed.SLOW),
             Param("wa", 0.0, 0.0, 0.0, 0, 0, "w_a", Speed.SLOW),
             Param("nnu", 3.046, 3.046, 3.046, 0, 0, "N_{eff}", Speed.SLOW),
+            # correlated CDM-isocurvature fraction (reference
+            # params_CMB.paramnames alpha1; CosmologyParameterizations.f90
+            # Params(12) iso_cdm_correlated). Fixed at 0 unless an ini
+            # frees it: param[alpha1] = 0 -0.3 0.3 0.01 0.01
+            Param("alpha1", 0.0, 0.0, 0.0, 0, 0, r"\alpha_{-1}",
+                  Speed.SLOW),
         ]
         for p in specs:
             if ini is not None and f"param[{p.name}]" in ini:

@@ -324,6 +324,15 @@ class CMBPosterior:
             if "logA" in self.space else 3.044
         self._fid_ns = float(self.space.get("ns").center) \
             if "ns" in self.space else 0.9649
+        # correlated CDM isocurvature: static enable when alpha1 is free
+        # or fixed nonzero (adiabatic runs keep the exact fast path)
+        self._iso_enabled = ("alpha1" in self.space
+                             and (_varies("alpha1")
+                                  or abs(self.space.get("alpha1").center)
+                                  > 1e-12))
+        if self._iso_enabled:
+            self._i_alpha1 = [p.name for p in self.space.params
+                              ].index("alpha1")
         if self.de_perturbations == "auto":
             pw = self.space.get("w") if "w" in self.space else None
             pwa = self.space.get("wa") if "wa" in self.space else None
@@ -381,13 +390,22 @@ class CMBPosterior:
             from cosmomc_tpu.models.matterpower import (LENS_NL_Z,
                                                         lensing_nl_ratio)
             z_nl = LENS_NL_Z if self.nonlinear_lens else (0.0,)
+            if getattr(self, "_iso_enabled", False):
+                # alpha1 -> IC admixture amplitude beta =
+                # sign(a) sqrt(|a|/(1-|a|)) (Calculator_CAMB.f90:109-111)
+                a1 = full_P[self._i_alpha1]
+                absa = jnp.clip(jnp.abs(a1), 0.0, 0.99)
+                iso_amp = jnp.sign(a1) * jnp.sqrt(absa / (1.0 - absa))
+            else:
+                iso_amp = 0.0
             po, chi_star, tf = compute_transfers(
                 bg, tau_re, yhe, k, return_thermo=True,
                 z_outputs=z_nl,
                 n_step=self.n_step_boltzmann,
                 massive_nu=self.massive_nu_hierarchy,
                 de_perts=self.de_perturbations,
-                remat_chunks=self.remat_chunks)
+                remat_chunks=self.remat_chunks,
+                iso_cdm_amp=iso_amp)
             if self.nonlinear_lens:
                 # CAMB MakeNonlinearSources: multiply the lensing source
                 # by sqrt(P_NL/P_lin)(k, z(tau)) at the fiducial power

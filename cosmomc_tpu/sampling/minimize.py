@@ -44,7 +44,8 @@ def find_best_fit(logpost: Callable, space: ParameterSpace,
                   use_grad: bool = True,
                   refine_temperature: Optional[float] = 0.02,
                   refine_steps: int = 512, refine_chains: int = 64,
-                  seed: int = 0, dtype=jnp.float64) -> BestFit:
+                  seed: int = 0, dtype=jnp.float64,
+                  maxiter: int = 500) -> BestFit:
     """Minimize -log posterior. `logpost(P) -> (mloglike, derived)`."""
     from scipy.optimize import minimize as sp_minimize
 
@@ -61,13 +62,28 @@ def find_best_fit(logpost: Callable, space: ParameterSpace,
         vg = jax.jit(jax.value_and_grad(
             lambda x: logpost(jnp.asarray(x * scale, dtype))[0]))
 
+        # error/out-of-range points surface as a huge FLAT plateau
+        # (LOG_ZERO sentinels), which breaks L-BFGS-B's zoom linesearch
+        # (zero slope -> degenerate interpolation -> refuses to move; its
+        # very first Cauchy trial can land there when the gradient is
+        # steep). Replace the plateau with a SLOPED quadratic pulling back
+        # toward the best finite point seen, so backtracking recovers.
+        track = {"x": np.array(x0), "v": np.inf}
+
         def obj(x):
             v, g = vg(jnp.asarray(x, dtype))
-            return float(v), np.asarray(g, float)
+            v = float(v)
+            if not np.isfinite(v) or v >= 1e28:
+                d = np.asarray(x, float) - track["x"]
+                return 1e12 * (1.0 + 0.5 * float(d @ d)), 1e12 * d
+            if v < track["v"]:
+                track["v"], track["x"] = v, np.array(x, float)
+            return v, np.asarray(g, float)
 
         res = sp_minimize(obj, x0, jac=True, method="L-BFGS-B",
                           bounds=list(zip(lo, hi)),
-                          options=dict(maxiter=500, ftol=1e-12, gtol=1e-9))
+                          options=dict(maxiter=maxiter, ftol=1e-12,
+                                       gtol=1e-9))
     else:
         res = sp_minimize(lambda x: float(fn(jnp.asarray(x, dtype))), x0,
                           method="Nelder-Mead",
